@@ -66,7 +66,8 @@ class CameraConfig:
     z_max: float = 6.0
 
     def scaled(self, level: int) -> "CameraConfig":
-        """Intrinsics for pyramid level ``level`` (each level halves)."""
+        """Intrinsics for pyramid level ``level`` (each level halves).
+        Point-sampling convention, matching Intrinsics.level."""
         f = 1 << level
         return dataclasses.replace(
             self,
@@ -74,8 +75,8 @@ class CameraConfig:
             height=self.height // f,
             fx=self.fx / f,
             fy=self.fy / f,
-            cx=(self.cx + 0.5) / f - 0.5,
-            cy=(self.cy + 0.5) / f - 0.5,
+            cx=self.cx / f,
+            cy=self.cy / f,
         )
 
 

@@ -1,0 +1,225 @@
+"""Projective point-to-plane ICP camera tracking.
+
+TPU replacement for PCL KinFu's ICP CUDA kernels (SURVEY.md section 2b).
+Per pyramid level (coarse to fine), a fixed number of Gauss-Newton
+iterations: transform the live vertex map by the current pose estimate,
+project into the previous camera, gather the raycast model vertex/normal
+at that pixel (projective data association), form point-to-plane
+residuals, and reduce the 6x6 normal equations A = J^T J, b = J^T r as
+two matmuls over an (N, 6) Jacobian — the reduction the BASELINE.json
+north star calls out, here hitting the MXU with full-precision
+accumulation.
+
+The incremental twist (alpha, beta, gamma, tx, ty, tz) is applied in
+world frame: v' ~= v + omega x v + t (small-angle), exactly PCL KinFu's
+linearization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from housescan_tpu.kinfu.camera import Intrinsics
+
+
+class IcpResult(NamedTuple):
+    pose: jnp.ndarray  # (4, 4) refined camera-to-world
+    rmse: jnp.ndarray  # () final point-to-plane RMSE (meters)
+    n_corr: jnp.ndarray  # () int32 final correspondence count
+
+
+def _solve_increment(
+    a: jnp.ndarray, b: jnp.ndarray, damping: float = 3e-4, max_step: float = 0.3
+):
+    """Solve the 6x6 system with scale-relative Tikhonov damping.
+
+    The damping matters for degenerate geometry (a single flat wall fills
+    the view — common mid-scan in real rooms): the normal matrix then has
+    a near-zero eigenvalue along the unconstrained directions, and tiny
+    noise in the raycast model would otherwise push large steps along
+    them. Relative damping bounds those steps while leaving the
+    well-conditioned directions essentially untouched; ``max_step`` caps
+    any single twist update (radians / meters) as a backstop.
+    """
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(a))), 1e-12)
+    a_d = a + damping * scale * jnp.eye(6, dtype=a.dtype)
+    x = jnp.linalg.solve(a_d, b)
+    ok = jnp.all(jnp.isfinite(x))
+    x = jnp.where(ok, x, 0.0)
+    norm = jnp.linalg.norm(x)
+    x = jnp.where(norm > max_step, x * (max_step / jnp.maximum(norm, 1e-12)), x)
+    return x, ok
+
+
+def _twist_to_proj(x: jnp.ndarray) -> jnp.ndarray:
+    """(alpha, beta, gamma, tx, ty, tz) -> 4x4 row-vector world transform.
+
+    Exact Rodrigues for the rotation (PCL uses the same linearization for
+    the solve but composes an orthonormal rotation).
+    """
+    omega = x[:3]
+    t = x[3:]
+    theta = jnp.linalg.norm(omega)
+    # Rodrigues via quaternion-free formula, safe at theta -> 0.
+    k = jnp.where(theta > 1e-12, omega / jnp.maximum(theta, 1e-12), jnp.zeros(3, x.dtype))
+    kx, ky, kz = k[0], k[1], k[2]
+    zero = jnp.zeros((), x.dtype)
+    skew = jnp.array(
+        [[zero, -kz, ky], [kz, zero, -kx], [-ky, kx, zero]]
+    )
+    s, c = jnp.sin(theta), jnp.cos(theta)
+    r_col = jnp.eye(3, dtype=x.dtype) + s * skew + (1 - c) * (skew @ skew)
+    # Row-vector form: p' = p @ r_col.T + t
+    m = jnp.eye(4, dtype=x.dtype)
+    m = m.at[:3, :3].set(r_col.T)
+    m = m.at[3, :3].set(t)
+    return m
+
+
+def _icp_level_iteration(
+    pose: jnp.ndarray,
+    live_vertices: jnp.ndarray,  # (H, W, 3) camera frame
+    live_normals: jnp.ndarray,  # (H, W, 3) camera frame
+    model_vertices: jnp.ndarray,  # (Hm, Wm, 3) world frame
+    model_normals: jnp.ndarray,  # (Hm, Wm, 3) world frame
+    model_valid: jnp.ndarray,  # (Hm, Wm)
+    prev_pose: jnp.ndarray,
+    intr: Intrinsics,
+    dist_threshold: float,
+    angle_threshold: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    rot = pose[:3, :3]
+    t = pose[3, :3]
+    v_w = live_vertices @ rot + t
+    n_w = live_normals @ rot
+    # Require a real live normal: the discontinuity mask zeroes normals at
+    # occlusion edges, and a zero normal would trivially pass the angle
+    # test below.
+    live_valid = (live_vertices[..., 2] > 0) & (
+        jnp.sum(live_normals * live_normals, axis=-1) > 0.25
+    )
+
+    # Project into the PREVIOUS camera (projective data association).
+    p_rot = prev_pose[:3, :3]
+    p_t = prev_pose[3, :3]
+    v_pc = (v_w - p_t) @ p_rot.T
+    z = v_pc[..., 2]
+    safe_z = jnp.where(z > 1e-6, z, 1.0)
+    u = jnp.round(intr.fx * v_pc[..., 0] / safe_z + intr.cx).astype(jnp.int32)
+    v = jnp.round(intr.fy * v_pc[..., 1] / safe_z + intr.cy).astype(jnp.int32)
+    inb = (z > 1e-6) & (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+
+    flat = jnp.clip(v, 0, intr.height - 1) * intr.width + jnp.clip(u, 0, intr.width - 1)
+    flat1 = flat.reshape(-1)
+
+    def gather_map(m):
+        return jnp.take(m.reshape(-1, m.shape[-1]), flat1, axis=0, mode="clip").reshape(
+            v_w.shape
+        )
+
+    m_v = gather_map(model_vertices)
+    m_n = gather_map(model_normals)
+    m_ok = jnp.take(model_valid.reshape(-1), flat1, mode="clip").reshape(flat.shape)
+
+    diff = v_w - m_v
+    dist_ok = jnp.sum(diff * diff, axis=-1) < dist_threshold * dist_threshold
+    # sin(angle) between normals via cross product norm (PCL's test).
+    cross = jnp.cross(n_w, m_n)
+    angle_ok = jnp.sum(cross * cross, axis=-1) < jnp.sin(angle_threshold) ** 2
+    corr = live_valid & inb & m_ok & dist_ok & angle_ok
+
+    # Point-to-plane rows: g = [v_w x n_m, n_m], residual r = n_m . (m_v - v_w)
+    g_rot = jnp.cross(v_w, m_n)
+    g = jnp.concatenate([g_rot, m_n], axis=-1)  # (H, W, 6)
+    r = jnp.sum(m_n * (m_v - v_w), axis=-1)  # (H, W)
+
+    # Huber robust weighting: full weight within `huber_delta`, 1/|r|
+    # beyond — bounds the influence of residual outliers the geometric
+    # gates let through.
+    huber_delta = 0.02
+    w_rob = jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-9))
+    # Incidence weighting: surfaces seen at grazing angles have the least
+    # reliable TSDF (projective-depth obliquity) and raycast normals —
+    # measured as a coherent multi-degree normal tilt on a grazing floor.
+    # cos^2 of the model-pixel viewing angle downweights them smoothly.
+    ray = m_v - p_t
+    ray = ray / jnp.maximum(jnp.linalg.norm(ray, axis=-1, keepdims=True), 1e-9)
+    incidence = jnp.maximum(-jnp.sum(m_n * ray, axis=-1), 0.0)
+    w = corr.astype(v_w.dtype) * w_rob * incidence * incidence
+    gw = (g * w[..., None]).reshape(-1, 6)
+    rw = (r * w).reshape(-1)
+
+    # The 6x6 reduction on the MXU with f32 accumulation.
+    a = jnp.matmul(gw.T, gw, precision="highest")
+    b = jnp.matmul(gw.T, rw, precision="highest")
+
+    x, ok = _solve_increment(a, b)
+    inc = _twist_to_proj(x)
+    new_pose = pose @ inc
+    # Keep the old pose if the solve failed.
+    new_pose = jnp.where(ok, new_pose, pose)
+
+    n_corr = jnp.sum(corr)
+    sq = jnp.sum((r * w) ** 2)
+    rmse = jnp.sqrt(sq / jnp.maximum(n_corr, 1))
+    return new_pose, rmse, n_corr
+
+
+def icp_track(
+    live_vertices: Sequence[jnp.ndarray],
+    live_normals: Sequence[jnp.ndarray],
+    model_vertices: Sequence[jnp.ndarray],
+    model_normals: Sequence[jnp.ndarray],
+    model_valid: Sequence[jnp.ndarray],
+    prev_pose: jnp.ndarray,
+    intr: Intrinsics,
+    iterations: Sequence[int] = (10, 5, 4),
+    dist_threshold: float = 0.10,
+    angle_threshold: float = 0.5236,
+    init_pose: jnp.ndarray = None,
+) -> IcpResult:
+    """Track the camera for one frame over the pyramid.
+
+    ``live_*`` and ``model_*`` are per-level maps, level 0 = finest.
+    ``iterations`` is indexed BY LEVEL like PCL's {10, 5, 4}: entry 0 is
+    the finest level's count, the last entry the coarsest's; levels run
+    coarse to fine. The initial estimate defaults to the previous pose
+    (constant-position model).
+    """
+    n_levels = len(live_vertices)
+    pose = prev_pose if init_pose is None else init_pose
+    rmse = jnp.asarray(0.0, jnp.float32)
+    n_corr = jnp.asarray(0, jnp.int32)
+    for level in range(n_levels - 1, -1, -1):
+        iters = iterations[level] if len(iterations) == n_levels else iterations[-1]
+        lvl_intr = intr.level(level)
+
+        def body(_, carry):
+            p, _, _ = carry
+            return _icp_level_iteration(
+                p,
+                live_vertices[level],
+                live_normals[level],
+                model_vertices[level],
+                model_normals[level],
+                model_valid[level],
+                prev_pose,
+                lvl_intr,
+                dist_threshold,
+                angle_threshold,
+            )
+
+        pose, rmse, n_corr = jax.lax.fori_loop(
+            0, iters, body, (pose, rmse, n_corr)
+        )
+    return IcpResult(pose, rmse, n_corr)
+
+
+def downsample_map(m: jnp.ndarray) -> jnp.ndarray:
+    """Halve a (H, W, C) or (H, W) map by point sampling (for building the
+    model pyramid from a full-res raycast, PCL's resize step)."""
+    return m[::2, ::2]

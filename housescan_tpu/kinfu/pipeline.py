@@ -1,0 +1,152 @@
+"""The KinFu tracking + fusion loop.
+
+End-to-end TPU equivalent of the reference's external KinFu scan tool
+(ref README.md:14): raw depth frames in, tracked camera poses and a fused
+TSDF volume out. One ``kinfu_step`` is a single jitted program: bilateral
+filter -> pyramid -> ICP against the previous frame's raycast model ->
+TSDF integrate -> raycast the new model for the next frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from housescan_tpu.config import Config
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.icp import IcpResult, downsample_map, icp_track
+from housescan_tpu.kinfu.preprocess import build_pyramid, depth_to_vertices, vertex_normals
+from housescan_tpu.kinfu.raycast import raycast
+from housescan_tpu.kinfu.tsdf import TsdfVolume, tsdf_integrate, tsdf_new
+
+
+class KinFuState(NamedTuple):
+    volume: TsdfVolume
+    pose: jnp.ndarray  # (4, 4) current camera-to-world
+    # Raycast model maps from the latest pose (world frame), full res.
+    model_vertices: jnp.ndarray  # (H, W, 3)
+    model_normals: jnp.ndarray  # (H, W, 3)
+    model_valid: jnp.ndarray  # (H, W)
+    frame_index: jnp.ndarray  # () int32
+    last_rmse: jnp.ndarray  # () f32 ICP rmse of the last step
+    last_corr: jnp.ndarray  # () int32 ICP correspondences of the last step
+
+
+def kinfu_init(
+    intr: Intrinsics,
+    resolution: int = 512,
+    size_m: float = 3.0,
+    trunc: float = 0.03,
+    origin=None,
+    init_pose: Optional[jnp.ndarray] = None,
+    dtype=jnp.float32,
+) -> KinFuState:
+    vol = tsdf_new(resolution, size_m, trunc, origin, dtype)
+    # Copy the init pose: state buffers are donated through kinfu_step, so
+    # aliasing a caller-owned array here would delete it under them.
+    pose = (
+        jnp.eye(4, jnp.float32)
+        if init_pose is None
+        else jnp.array(init_pose, jnp.float32, copy=True)
+    )
+    h, w = intr.height, intr.width
+    return KinFuState(
+        volume=vol,
+        pose=pose,
+        model_vertices=jnp.zeros((h, w, 3), jnp.float32),
+        model_normals=jnp.zeros((h, w, 3), jnp.float32),
+        model_valid=jnp.zeros((h, w), bool),
+        frame_index=jnp.asarray(0, jnp.int32),
+        last_rmse=jnp.asarray(0.0, jnp.float32),
+        last_corr=jnp.asarray(0, jnp.int32),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("intr", "levels", "iterations", "max_raycast_steps"),
+    donate_argnums=(0,),
+)
+def kinfu_step(
+    state: KinFuState,
+    raw_depth: jnp.ndarray,
+    intr: Intrinsics,
+    levels: int = 3,
+    iterations: Tuple[int, ...] = (10, 5, 4),
+    dist_threshold: float = 0.10,
+    angle_threshold: float = 0.5236,
+    max_weight: float = 128.0,
+    z_min: float = 0.3,
+    max_raycast_steps: int = 256,
+) -> KinFuState:
+    """Track and fuse one depth frame (the benchmark unit of BASELINE.json:
+    'depth frames/sec TSDF integrate+ICP at 512^3')."""
+    pyr = build_pyramid(raw_depth, intr, levels=levels)
+
+    # Model pyramid from the stored full-res raycast maps.
+    m_v = [state.model_vertices]
+    m_n = [state.model_normals]
+    m_ok = [state.model_valid]
+    for _ in range(1, levels):
+        m_v.append(downsample_map(m_v[-1]))
+        m_n.append(downsample_map(m_n[-1]))
+        m_ok.append(downsample_map(m_ok[-1]))
+
+    is_first = state.frame_index == 0
+
+    icp = icp_track(
+        pyr.vertices,
+        pyr.normals,
+        m_v,
+        m_n,
+        m_ok,
+        state.pose,
+        intr,
+        iterations=iterations,
+        dist_threshold=dist_threshold,
+        angle_threshold=angle_threshold,
+    )
+    # Frame 0 has no model yet: keep the initial pose.
+    new_pose = jnp.where(is_first, state.pose, icp.pose)
+
+    volume = tsdf_integrate(
+        state.volume, raw_depth, new_pose, intr, max_weight=max_weight
+    )
+
+    model = raycast(
+        volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
+    )
+
+    return KinFuState(
+        volume=volume,
+        pose=new_pose,
+        model_vertices=model.vertices,
+        model_normals=model.normals,
+        model_valid=model.valid,
+        frame_index=state.frame_index + 1,
+        last_rmse=jnp.where(is_first, 0.0, icp.rmse),
+        last_corr=jnp.where(is_first, 0, icp.n_corr),
+    )
+
+
+def kinfu_run(
+    state: KinFuState,
+    depth_stream: jnp.ndarray,
+    intr: Intrinsics,
+    **step_kwargs,
+) -> Tuple[KinFuState, jnp.ndarray]:
+    """Fuse a whole (N, H, W) stream, returning final state and per-frame
+    poses (N, 4, 4). Python loop over jitted steps — each step is one
+    device program; the stream loop stays on host so frames can come from
+    a capture source."""
+    import numpy as np
+
+    poses = []
+    for i in range(depth_stream.shape[0]):
+        state = kinfu_step(state, jnp.asarray(depth_stream[i]), intr, **step_kwargs)
+        # Copy out: the state buffers are donated into the next step.
+        poses.append(np.asarray(state.pose))
+    return state, jnp.asarray(np.stack(poses))

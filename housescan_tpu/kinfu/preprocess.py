@@ -1,0 +1,175 @@
+"""Depth-frame preprocessing: bilateral filter, vertex/normal maps, pyramids.
+
+The PCL KinFu front end the reference relied on (SURVEY.md section 2b)
+runs these as CUDA kernels; here each is a fully-fusible XLA elementwise
+program — the bilateral window is a static unrolled shift-stack, so the
+whole preprocess (filter -> 3-level pyramid -> vertex maps -> normal
+maps) compiles into a handful of fused loops with zero gathers.
+
+Invalid depth is 0 (the Kinect convention the reference also used,
+ref Main.hs:1300 'drop d==0'); invalid vertices/normals are NaN-free
+zeros with a validity mask derivable from depth > 0.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from housescan_tpu.kinfu.camera import Intrinsics, pixel_rays
+
+
+def bilateral_filter(
+    depth: jnp.ndarray,
+    radius: int = 3,
+    sigma_space: float = 4.5,
+    sigma_depth: float = 0.03,
+) -> jnp.ndarray:
+    """Edge-preserving depth smoothing (PCL KinFu front-end equivalent).
+
+    ``depth`` is (H, W) meters with 0 = invalid. The (2r+1)^2 window is
+    unrolled at trace time into shifted copies — XLA fuses the whole
+    filter into one elementwise loop, no convolution or gather needed.
+    """
+    valid = depth > 0
+    inv_2ss = 0.5 / (sigma_space * sigma_space)
+    inv_2sd = 0.5 / (sigma_depth * sigma_depth)
+
+    weight_sum = jnp.zeros_like(depth)
+    value_sum = jnp.zeros_like(depth)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            shifted = _shift2d(depth, dy, dx)
+            ok = (shifted > 0) & valid
+            dd = shifted - depth
+            w = jnp.exp(-(dy * dy + dx * dx) * inv_2ss - dd * dd * inv_2sd)
+            w = jnp.where(ok, w, 0.0)
+            weight_sum = weight_sum + w
+            value_sum = value_sum + w * shifted
+    out = jnp.where(weight_sum > 0, value_sum / jnp.maximum(weight_sum, 1e-12), 0.0)
+    return jnp.where(valid, out, 0.0)
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with zero fill (zeros = invalid depth)."""
+    out = img
+    if dy:
+        out = jnp.roll(out, dy, axis=0)
+        if dy > 0:
+            out = out.at[:dy, :].set(0.0)
+        else:
+            out = out.at[dy:, :].set(0.0)
+    if dx:
+        out = jnp.roll(out, dx, axis=1)
+        if dx > 0:
+            out = out.at[:, :dx].set(0.0)
+        else:
+            out = out.at[:, dx:].set(0.0)
+    return out
+
+
+def downsample_depth(depth: jnp.ndarray, sigma_depth: float = 0.03) -> jnp.ndarray:
+    """Halve resolution in the POINT-SAMPLING convention (PCL pyrDown
+    style): smooth with a discontinuity-gated 3x3 window CENTERED on fine
+    pixel (2i, 2j), then subsample [::2, ::2]. Keeps the depth pyramid on
+    the same pixel grid as point-sampled model maps and Intrinsics.level.
+    """
+    center = depth
+    weight_sum = jnp.zeros_like(depth)
+    value_sum = jnp.zeros_like(depth)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = _shift2d(depth, dy, dx)
+            w = 1.0 if (dy == 0 and dx == 0) else 0.5
+            ok = (s > 0) & (jnp.abs(s - center) < 3 * sigma_depth)
+            wv = jnp.where(ok, w, 0.0)
+            weight_sum = weight_sum + wv
+            value_sum = value_sum + wv * s
+    smoothed = jnp.where(
+        (center > 0) & (weight_sum > 0), value_sum / jnp.maximum(weight_sum, 1e-12), 0.0
+    )
+    return smoothed[::2, ::2]
+
+
+def depth_to_vertices(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
+    """(H, W) depth -> (H, W, 3) camera-frame vertex map (0 where invalid)."""
+    rays = pixel_rays(intr, depth.dtype)
+    return rays * depth[..., None]
+
+
+def vertex_normals(vertices: jnp.ndarray, max_depth_jump: float = 0.08) -> jnp.ndarray:
+    """(H, W, 3) vertex map -> unit normal map via central differences.
+
+    Normals point toward the camera (-z half-space), the orientation ICP
+    and raycast agree on. Invalid pixels get zero normals; a pixel is
+    invalid when any stencil neighbor is missing, the cross product
+    degenerates, or a neighbor's depth jumps by more than
+    ``max_depth_jump`` — the depth-DISCONTINUITY mask. Without it, pixels
+    straddling an occlusion edge blend two surfaces into a plausible-
+    looking but fictitious normal; live and model maps then agree on the
+    same fiction, the ICP angle test passes, and the pose estimate is
+    dragged sideways a few tenths of a millimeter per iteration (measured
+    on the synthetic furnished room before this mask existed).
+    """
+    vr = jnp.roll(vertices, -1, axis=1)
+    vl = jnp.roll(vertices, 1, axis=1)
+    vd = jnp.roll(vertices, -1, axis=0)
+    vu = jnp.roll(vertices, 1, axis=0)
+    du = vr - vl
+    dv = vd - vu
+    n = jnp.cross(dv, du)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    z = vertices[..., 2]
+    continuous = (
+        (jnp.abs(vr[..., 2] - z) < max_depth_jump)
+        & (jnp.abs(vl[..., 2] - z) < max_depth_jump)
+        & (jnp.abs(vd[..., 2] - z) < max_depth_jump)
+        & (jnp.abs(vu[..., 2] - z) < max_depth_jump)
+    )
+    valid = (
+        (z > 0)
+        & (vr[..., 2] > 0)
+        & (vl[..., 2] > 0)
+        & (vd[..., 2] > 0)
+        & (vu[..., 2] > 0)
+        & continuous
+        & (norm[..., 0] > 1e-12)
+    )
+    n = n / jnp.maximum(norm, 1e-12)
+    # Orient toward the camera: n . v < 0 (v points away from camera).
+    flip = jnp.sum(n * vertices, axis=-1, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
+class FramePyramid(NamedTuple):
+    """Per-level depth/vertex/normal maps, coarse last (level 0 = full res)."""
+
+    depths: Tuple[jnp.ndarray, ...]
+    vertices: Tuple[jnp.ndarray, ...]
+    normals: Tuple[jnp.ndarray, ...]
+
+
+def build_pyramid(
+    raw_depth: jnp.ndarray,
+    intr: Intrinsics,
+    levels: int = 3,
+    bilateral_radius: int = 3,
+    sigma_space: float = 4.5,
+    sigma_depth: float = 0.03,
+) -> FramePyramid:
+    """Full preprocess: bilateral filter then per-level vertex+normal maps."""
+    d0 = bilateral_filter(raw_depth, bilateral_radius, sigma_space, sigma_depth)
+    depths: List[jnp.ndarray] = [d0]
+    for _ in range(1, levels):
+        depths.append(downsample_depth(depths[-1], sigma_depth))
+    verts = []
+    norms = []
+    for lvl, d in enumerate(depths):
+        v = depth_to_vertices(d, intr.level(lvl))
+        verts.append(v)
+        norms.append(vertex_normals(v))
+    return FramePyramid(tuple(depths), tuple(verts), tuple(norms))

@@ -1,0 +1,185 @@
+"""Synthetic depth-stream rendering: analytic cuboid-room scanner.
+
+The reference's KinFu inputs were recorded Kinect streams on the author's
+disk; for CI, benchmarks, and parity tests we render exact depth frames
+of a cuboid room (optionally with boxes inside) from analytic ray-box
+intersections, with exact ground-truth poses and an exact ground-truth
+TSDF. This is the 'recorded depth stream' test path called for by
+SURVEY.md section 4.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.geometry.transform import axis_angle_mat
+from housescan_tpu.kinfu.camera import Intrinsics, pixel_rays
+
+
+@partial(jax.jit, static_argnames=("intr",))
+def render_box_interior_depth(
+    intr: Intrinsics,
+    pose: jnp.ndarray,
+    half_dims: jnp.ndarray,
+    boxes: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Depth map of the inside of an axis-aligned box room.
+
+    ``pose`` is the 4x4 row-vector camera-to-world transform; the room is
+    centered at the world origin with half-extents ``half_dims``.
+    ``boxes``, if given, is (B, 2, 3) solid axis-aligned boxes
+    (min corner, max corner) inside the room. Returns (H, W) projective
+    depth in meters (distance along camera z).
+    """
+    rays_cam = pixel_rays(intr)  # (H, W, 3), z = 1
+    rot = pose[:3, :3]
+    origin = pose[3, :3]
+    dirs = rays_cam @ rot  # world-frame ray directions, z_cam = 1 scaling
+
+    # Exit distance from inside the room slab per axis:
+    # t_axis = (sign(dir) * half - origin) / dir
+    eps = 1e-12
+    safe_dirs = jnp.where(jnp.abs(dirs) < eps, eps, dirs)
+    t_exit_axis = (jnp.sign(safe_dirs) * half_dims - origin) / safe_dirs
+    t_room = jnp.min(t_exit_axis, axis=-1)  # exit the room = nearest wall hit
+
+    t_hit = t_room
+    if boxes is not None:
+        for i in range(boxes.shape[0]):
+            bmin, bmax = boxes[i, 0], boxes[i, 1]
+            t1 = (bmin - origin) / safe_dirs
+            t2 = (bmax - origin) / safe_dirs
+            t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            hit = (t_near <= t_far) & (t_near > 0)
+            t_hit = jnp.where(hit & (t_near < t_hit), t_near, t_hit)
+
+    # dirs scale: depth (z_cam) = t because rays_cam z == 1.
+    depth = jnp.where(t_hit > 0, t_hit, 0.0)
+    return depth.astype(jnp.float32)
+
+
+def orbit_poses(
+    n_frames: int,
+    radius: float = 0.4,
+    height: float = 0.0,
+    yaw_range: float = 2 * math.pi,
+    pitch: float = 0.0,
+    look_jitter: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """(N, 4, 4) camera-to-world poses orbiting inside the room, yawing to
+    sweep the walls (a Kinect-operator-in-the-room trajectory).
+
+    ``pitch`` > 0 tilts the camera down (toward world +y, the floor side),
+    putting floor/wall junctions in view — richer ICP constraints."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for k in range(n_frames):
+        yaw = yaw_range * k / max(n_frames, 1)
+        # camera-to-world rotation: camera z (forward) points outward at
+        # angle yaw in the XZ plane; camera y stays down (-Y up world).
+        forward = np.array([math.sin(yaw), 0.0, math.cos(yaw)])
+        if look_jitter:
+            forward = forward + rng.normal(scale=look_jitter, size=3)
+            forward /= np.linalg.norm(forward)
+        up = np.array([0.0, -1.0, 0.0])  # world up is -y in camera convention
+        right = np.cross(up, forward)
+        right /= np.linalg.norm(right)
+        down = np.cross(forward, right)
+        if pitch:
+            c, s = math.cos(pitch), math.sin(pitch)
+            forward, down = forward * c + down * s, down * c - forward * s
+        rot = np.stack([right, down, forward])  # rows: camera axes in world
+        pos = np.array(
+            [radius * math.sin(yaw), height, radius * math.cos(yaw)]
+        )
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = rot.astype(np.float32)
+        pose[3, :3] = pos.astype(np.float32)
+        poses.append(pose)
+    return np.stack(poses)
+
+
+def furnished_room(scale: float = 1.0):
+    """A standard richly-furnished test room: (half_dims, boxes).
+
+    Enough box 'furniture' that every viewpoint sees geometry constraining
+    all 6 DOF — ICP on bare flat walls is mathematically degenerate
+    (rank-deficient normal matrix), for this framework and for the
+    reference's PCL KinFu alike.
+    """
+    half = np.array([1.3, 1.1, 1.3], np.float32) * scale
+    boxes = np.array(
+        [
+            [[-0.95, 0.40, -0.95], [-0.35, 1.10, -0.35]],  # crate, floor corner
+            [[0.30, 0.50, 0.40], [0.90, 1.10, 1.00]],  # crate, opposite side
+            [[-0.20, -1.10, 0.60], [0.40, -0.50, 1.20]],  # cabinet, ceiling side
+            [[0.60, 0.70, -1.00], [1.20, 1.10, -0.40]],  # bench
+            [[-1.25, -0.20, 0.20], [-0.85, 0.30, 0.80]],  # shelf on -x wall
+            [[0.85, -0.40, -0.60], [1.25, 0.20, 0.00]],  # shelf on +x wall
+            [[-0.50, 0.85, 0.90], [0.20, 1.10, 1.25]],  # low table at +z
+            [[-0.15, -0.15, -1.25], [0.45, 0.45, -0.85]],  # box on -z wall
+        ],
+        np.float32,
+    ) * scale
+    return half, boxes
+
+
+def render_depth_stream(
+    intr: Intrinsics,
+    poses: np.ndarray,
+    half_dims,
+    boxes: Optional[np.ndarray] = None,
+    noise: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """(N, H, W) float32 depth stream with optional Kinect-like noise."""
+    rng = np.random.default_rng(seed)
+    half = jnp.asarray(half_dims, jnp.float32)
+    boxes_j = jnp.asarray(boxes, jnp.float32) if boxes is not None else None
+    frames = []
+    for pose in poses:
+        d = np.asarray(render_box_interior_depth(intr, jnp.asarray(pose), half, boxes_j))
+        if noise > 0:
+            # depth-dependent noise, Kinect-like quadratic growth
+            d = np.where(
+                d > 0, d + rng.normal(scale=noise, size=d.shape) * (d / 2.0) ** 2, 0.0
+            ).astype(np.float32)
+        frames.append(d)
+    return np.stack(frames)
+
+
+def ground_truth_tsdf(
+    resolution: int,
+    size_m: float,
+    origin: np.ndarray,
+    half_dims: np.ndarray,
+    trunc: float,
+) -> np.ndarray:
+    """Exact truncated SDF of the box-room interior on the voxel grid.
+
+    Signed distance of a point inside an axis-aligned box to its surface
+    is ``min over axes of (half - |p|)`` (positive inside = in front of
+    the wall surface, matching TSDF sign: positive in free space).
+    """
+    voxel = size_m / resolution
+    idx = (np.arange(resolution) + 0.5) * voxel
+    x = origin[0] + idx
+    y = origin[1] + idx
+    z = origin[2] + idx
+    gx, gy, gz = np.meshgrid(x, y, z, indexing="ij")
+    dist = np.minimum.reduce(
+        [
+            half_dims[0] - np.abs(gx),
+            half_dims[1] - np.abs(gy),
+            half_dims[2] - np.abs(gz),
+        ]
+    )
+    return np.clip(dist / trunc, -1.0, 1.0).astype(np.float32)
