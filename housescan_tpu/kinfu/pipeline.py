@@ -26,10 +26,18 @@ from housescan_tpu.kinfu.tsdf import TsdfVolume, tsdf_integrate, tsdf_new
 class KinFuState(NamedTuple):
     volume: TsdfVolume
     pose: jnp.ndarray  # (4, 4) current camera-to-world
-    # Raycast model maps from the latest pose (world frame), full res.
+    # Raycast model maps rendered at model_pose (world frame), full res.
+    # model_pose is the constant-velocity PREDICTION of the next frame's
+    # camera, so the next ICP's projective flow is only prediction error
+    # (a pixel or two) — which keeps the gather-free association windows
+    # tiny.
     model_vertices: jnp.ndarray  # (H, W, 3)
     model_normals: jnp.ndarray  # (H, W, 3)
     model_valid: jnp.ndarray  # (H, W)
+    model_pose: jnp.ndarray  # (4, 4)
+    # Frame-to-frame velocity V with M_new = V @ M_old (left compose in
+    # the row-vector convention); used only to seed the next ICP.
+    velocity: jnp.ndarray  # (4, 4)
     frame_index: jnp.ndarray  # () int32
     last_rmse: jnp.ndarray  # () f32 ICP rmse of the last step
     last_corr: jnp.ndarray  # () int32 ICP correspondences of the last step
@@ -59,10 +67,22 @@ def kinfu_init(
         model_vertices=jnp.zeros((h, w, 3), jnp.float32),
         model_normals=jnp.zeros((h, w, 3), jnp.float32),
         model_valid=jnp.zeros((h, w), bool),
+        model_pose=jnp.array(pose, jnp.float32, copy=True),
+        velocity=jnp.eye(4, dtype=jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
         last_rmse=jnp.asarray(0.0, jnp.float32),
         last_corr=jnp.asarray(0, jnp.int32),
     )
+
+
+def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a rigid row-vector 4x4: R -> R^T, t -> -t R^T."""
+    r = m[:3, :3]
+    t = m[3, :3]
+    inv = jnp.eye(4, dtype=m.dtype)
+    inv = inv.at[:3, :3].set(r.T)
+    inv = inv.at[3, :3].set(-t @ r.T)
+    return inv
 
 
 @partial(
@@ -97,17 +117,26 @@ def kinfu_step(
 
     is_first = state.frame_index == 0
 
+    # Model maps are rendered at model_pose (the previous estimate); the
+    # ICP starts there too. (Constant-velocity seeding was tried and
+    # REMOVED: it injects the previous frame's residual error into the
+    # next initialization, raising the tracking-fusion feedback gain past
+    # one — the closed loop then snaps after ~15 frames even though every
+    # individual clean-map ICP solve is sub-millimeter. The association
+    # windows comfortably cover per-frame motion without seeding.)
+    init_pose = state.model_pose
     icp = icp_track(
         pyr.vertices,
         pyr.normals,
         m_v,
         m_n,
         m_ok,
-        state.pose,
+        state.model_pose,
         intr,
         iterations=iterations,
         dist_threshold=dist_threshold,
         angle_threshold=angle_threshold,
+        init_pose=init_pose,
     )
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
@@ -116,9 +145,16 @@ def kinfu_step(
         state.volume, raw_depth, new_pose, intr, max_weight=max_weight
     )
 
+    # Render the model at the ESTIMATED pose — the viewpoint whose depth
+    # just shaped the map. Rendering anywhere else (we tried the
+    # constant-velocity prediction) resamples the discretized TSDF along
+    # rays it wasn't built from and picks up a coherent millimeter-scale
+    # surface bias that feeds back into tracking as unbounded drift.
     model = raycast(
         volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
     )
+
+    velocity = new_pose @ inverse_rigid(state.pose)
 
     return KinFuState(
         volume=volume,
@@ -126,6 +162,8 @@ def kinfu_step(
         model_vertices=model.vertices,
         model_normals=model.normals,
         model_valid=model.valid,
+        model_pose=new_pose,
+        velocity=jnp.where(is_first, jnp.eye(4, dtype=jnp.float32), velocity),
         frame_index=state.frame_index + 1,
         last_rmse=jnp.where(is_first, 0.0, icp.rmse),
         last_corr=jnp.where(is_first, 0, icp.n_corr),

@@ -232,8 +232,11 @@ class TestIcp:
         n1 = vertex_normals(v1)
         pose = p0
         for _ in range(6):
+            # window=2: shift-stack projective association (identity
+            # association needs sub-pixel flow, which a full inter-frame
+            # motion doesn't satisfy)
             pose, rmse, ncorr = _icp_level_iteration(
-                pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236
+                pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236, window=2
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p1[3, :3])) < 5e-4  # 0.5mm
         assert int(ncorr) > 5000
