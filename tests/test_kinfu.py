@@ -236,7 +236,7 @@ class TestIcp:
             # association needs sub-pixel flow, which a full inter-frame
             # motion doesn't satisfy)
             pose, rmse, ncorr = _icp_level_iteration(
-                pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236, window=2
+                pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236, window=4
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p1[3, :3])) < 5e-4  # 0.5mm
         assert int(ncorr) > 5000
