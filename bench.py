@@ -1,0 +1,96 @@
+"""Benchmark: depth frames/sec for TSDF integrate + ICP (+ raycast) at 512^3.
+
+The BASELINE.json headline metric. Runs the full jitted KinFu fusion step
+(bilateral -> pyramid -> gather-free ICP -> TSDF integrate -> raycast) on
+one real TPU chip at 640x480 / 512^3 and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline is against the driver-set north star of 60 fps
+(BASELINE.json; the reference's external PCL KinFu ran "real-time" ~30fps
+at 512^3 on a GTX 780M, README.md:25-26).
+
+Environment knobs: HOUSESCAN_BENCH_RES (voxels), HOUSESCAN_BENCH_FRAMES,
+HOUSESCAN_BENCH_WH ("640x480").
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from housescan_tpu.kinfu.camera import Intrinsics
+    from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
+    from housescan_tpu.kinfu.synthetic import (
+        furnished_room,
+        orbit_poses,
+        render_depth_stream,
+    )
+
+    resolution = int(os.environ.get("HOUSESCAN_BENCH_RES", "512"))
+    n_frames = int(os.environ.get("HOUSESCAN_BENCH_FRAMES", "5"))
+    wh = os.environ.get("HOUSESCAN_BENCH_WH", "640x480")
+    width, height = (int(x) for x in wh.split("x"))
+
+    intr = Intrinsics(
+        width=width,
+        height=height,
+        fx=525.0 * width / 640,
+        fy=525.0 * width / 640,
+        cx=width / 2 - 0.5,
+        cy=height / 2 - 0.5,
+    )
+    half, boxes = furnished_room()
+    poses = orbit_poses(n_frames + 1, radius=0.25, yaw_range=0.02 * n_frames, pitch=0.25)
+    frames = render_depth_stream(intr, poses, half, boxes=boxes)
+    device_frames = [jnp.asarray(f) for f in frames]
+
+    state = kinfu_init(
+        intr,
+        resolution=resolution,
+        size_m=3.0,
+        trunc=0.03,
+        init_pose=jnp.asarray(poses[0]),
+    )
+
+    # Warmup: compile + first (untracked) frame.
+    t0 = time.time()
+    state = kinfu_step(state, device_frames[0], intr)
+    state.pose.block_until_ready()
+    float(jnp.sum(state.pose))  # force completion (block_until_ready is
+    # unreliable on the axon platform)
+    compile_s = time.time() - t0
+    print(f"# compile+first-frame: {compile_s:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(1, n_frames + 1):
+        state = kinfu_step(state, device_frames[i], intr)
+    float(jnp.sum(state.pose))
+    elapsed = time.time() - t0
+
+    fps = n_frames / elapsed
+    print(
+        f"# {n_frames} frames in {elapsed:.2f}s; icp rmse "
+        f"{float(state.last_rmse)*1000:.3f}mm corr {int(state.last_corr)}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"depth frames/sec TSDF integrate+ICP+raycast at {resolution}^3, {wh}",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / 60.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

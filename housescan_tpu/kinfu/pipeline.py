@@ -56,7 +56,7 @@ def kinfu_init(
     # Copy the init pose: state buffers are donated through kinfu_step, so
     # aliasing a caller-owned array here would delete it under them.
     pose = (
-        jnp.eye(4, jnp.float32)
+        jnp.eye(4, dtype=jnp.float32)
         if init_pose is None
         else jnp.array(init_pose, jnp.float32, copy=True)
     )

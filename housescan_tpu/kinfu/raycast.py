@@ -34,12 +34,13 @@ def _sample_nearest(vol: TsdfVolume, pts_world: jnp.ndarray) -> jnp.ndarray:
     the +1 initialization, so any non-positive sample is necessarily an
     observed voxel — no weight lookup required in the hot loop.
     """
-    r = vol.resolution
+    dx, dy, dz = vol.dims
     g = (pts_world - vol.origin) / vol.voxel_size
     i = jnp.floor(g).astype(jnp.int32)
-    inb = jnp.all((i >= 0) & (i < r), axis=-1)
-    ic = jnp.clip(i, 0, r - 1)
-    flat = ic[..., 0] * (r * r) + ic[..., 1] * r + ic[..., 2]
+    dims = jnp.array([dx, dy, dz], jnp.int32)
+    inb = jnp.all((i >= 0) & (i < dims), axis=-1)
+    ic = jnp.clip(i, 0, dims - 1)
+    flat = ic[..., 0] * (dy * dz) + ic[..., 1] * dz + ic[..., 2]
     t = jnp.take(vol.tsdf.reshape(-1), flat.reshape(-1), mode="clip").reshape(flat.shape)
     return jnp.where(inb, t.astype(jnp.float32), 1.0)
 
@@ -63,7 +64,7 @@ def raycast(
 
     # Ray/volume AABB intersection -> per-pixel [t_near, t_far].
     vmin = vol.origin
-    vmax = vol.origin + vol.resolution * vol.voxel_size
+    vmax = vol.origin + jnp.array(vol.dims, jnp.float32) * vol.voxel_size
     eps = 1e-12
     safe = jnp.where(jnp.abs(dirs) < eps, eps, dirs)
     t1 = (vmin - origin) / safe

@@ -40,6 +40,12 @@ class TsdfVolume(NamedTuple):
     def resolution(self) -> int:
         return self.tsdf.shape[0]
 
+    @property
+    def dims(self):
+        """Per-axis voxel counts; shards of a mesh-distributed volume are
+        non-cubic (e.g. an X-slab), so samplers use dims, not resolution."""
+        return self.tsdf.shape
+
 
 def tsdf_new(
     resolution: int = 512,
@@ -135,18 +141,37 @@ def tsdf_integrate(
     single integration at 640x480); "nearest" matches PCL bit-for-bit in
     spirit and costs 1 gather instead of 4.
     """
-    r = vol.resolution
+    return integrate_core(vol, depth, pose, intr, max_weight, depth_interp)
+
+
+def integrate_core(
+    vol: TsdfVolume,
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    max_weight: float = 128.0,
+    depth_interp: str = "bilinear",
+) -> TsdfVolume:
+    """Unjitted integrate body; works on non-cubic volumes so a mesh shard
+    (an X-slab with its own origin) integrates with the same code inside
+    shard_map."""
+    nx, ny, nz = vol.dims
     dtype = vol.tsdf.dtype
     rot = pose[:3, :3]
     t = pose[3, :3]
 
     # World voxel-center coordinates, kept as three broadcastable rank-3
     # factors so XLA fuses them into the index computation without ever
-    # materializing an (R, R, R, 3) tensor.
-    idx = (jnp.arange(r, dtype=jnp.float32) + 0.5) * vol.voxel_size
-    gx = (vol.origin[0] + idx)[:, None, None]
-    gy = (vol.origin[1] + idx)[None, :, None]
-    gz = (vol.origin[2] + idx)[None, None, :]
+    # materializing an (X, Y, Z, 3) tensor.
+    gx = (vol.origin[0] + (jnp.arange(nx, dtype=jnp.float32) + 0.5) * vol.voxel_size)[
+        :, None, None
+    ]
+    gy = (vol.origin[1] + (jnp.arange(ny, dtype=jnp.float32) + 0.5) * vol.voxel_size)[
+        None, :, None
+    ]
+    gz = (vol.origin[2] + (jnp.arange(nz, dtype=jnp.float32) + 0.5) * vol.voxel_size)[
+        None, None, :
+    ]
 
     # World -> camera: p_c = (p_w - t) @ R^T  (R is row-vector cam-to-world).
     dxw = gx - t[0]
@@ -205,17 +230,19 @@ def sample_trilinear(
     Returns (values, valid); valid = in bounds and observed support weight
     > ``min_support``.
     """
-    r = vol.resolution
+    dx, dy, dz = vol.dims
     g = (points_world - vol.origin) / vol.voxel_size - 0.5
     g0 = jnp.floor(g)
     frac = g - g0
     i0 = g0.astype(jnp.int32)
 
-    in_bounds = jnp.all((i0 >= 0) & (i0 < r - 1), axis=-1)
-    i0c = jnp.clip(i0, 0, r - 2)
+    dims = jnp.array([dx, dy, dz], jnp.int32)
+    in_bounds = jnp.all((i0 >= 0) & (i0 < dims - 1), axis=-1)
+    i0c = jnp.clip(i0, 0, dims - 2)
 
     tsdf_flat = vol.tsdf.reshape(-1)
     w_flat = vol.weight.reshape(-1)
+    dy_, dz_ = dy, dz  # capture before the loop variables shadow them
 
     num = jnp.zeros(points_world.shape[:-1], jnp.float32)
     den = jnp.zeros(points_world.shape[:-1], jnp.float32)
@@ -223,8 +250,8 @@ def sample_trilinear(
         for dy in (0, 1):
             for dz in (0, 1):
                 idx = (
-                    (i0c[..., 0] + dx) * (r * r)
-                    + (i0c[..., 1] + dy) * r
+                    (i0c[..., 0] + dx) * (dy_ * dz_)
+                    + (i0c[..., 1] + dy) * dz_
                     + (i0c[..., 2] + dz)
                 )
                 w = (

@@ -1,0 +1,293 @@
+"""Mesh-sharded KinFu: the multi-chip fusion step.
+
+The volume-scaling strategy SURVEY.md section 5 calls for: the TSDF grid
+is sharded into X-slabs across a 1-D device mesh (NamedSharding over ICI)
+and every stage of the fusion step runs SPMD via shard_map:
+
+  * integrate — embarrassingly shard-local: each device integrates its
+    own slab (gather-side design pays off: no cross-shard writes exist).
+  * raycast — each device marches rays through its slab only (with a
+    2-voxel halo exchanged from neighbors via ppermute so surfaces
+    straddling slab boundaries are seen); the first crossing is combined
+    across shards with a pmin, and the winning shard's vertex is selected
+    with a psum.
+  * ICP fine level — pixel rows sharded; each device reduces its partial
+    6x6 normal equations, one psum yields the global system (the ICI
+    reduction the BASELINE.json north star names).
+
+Coarse ICP levels and the depth preprocess run replicated: they are
+KB-scale images, not worth a collective.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.icp import (
+    _solve_increment,
+    _twist_to_proj,
+    downsample_map,
+    icp_track,
+)
+from housescan_tpu.kinfu.preprocess import build_pyramid, vertex_normals
+from housescan_tpu.kinfu.raycast import raycast
+from housescan_tpu.kinfu.tsdf import TsdfVolume, integrate_core, tsdf_new
+from housescan_tpu.parallel.mesh import VOLUME_AXIS
+
+
+class ShardedKinFuState(NamedTuple):
+    volume: TsdfVolume  # tsdf/weight sharded on axis 0 (X-slabs)
+    pose: jnp.ndarray
+    model_vertices: jnp.ndarray
+    model_normals: jnp.ndarray
+    model_valid: jnp.ndarray
+    frame_index: jnp.ndarray
+
+
+def sharded_kinfu_init(
+    mesh: Mesh,
+    intr: Intrinsics,
+    resolution: int = 128,
+    size_m: float = 3.0,
+    trunc: float = 0.06,
+    init_pose=None,
+) -> ShardedKinFuState:
+    """Allocate the volume already laid out in X-slabs across the mesh."""
+    vol = tsdf_new(resolution, size_m, trunc)
+    sharding = NamedSharding(mesh, P(VOLUME_AXIS, None, None))
+    rep = NamedSharding(mesh, P())
+    vol = TsdfVolume(
+        tsdf=jax.device_put(vol.tsdf, sharding),
+        weight=jax.device_put(vol.weight, sharding),
+        origin=jax.device_put(vol.origin, rep),
+        voxel_size=jax.device_put(vol.voxel_size, rep),
+        trunc=jax.device_put(vol.trunc, rep),
+    )
+    pose = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.array(init_pose, jnp.float32, copy=True)
+    h, w = intr.height, intr.width
+    return ShardedKinFuState(
+        volume=vol,
+        pose=jax.device_put(pose, rep),
+        model_vertices=jnp.zeros((h, w, 3), jnp.float32),
+        model_normals=jnp.zeros((h, w, 3), jnp.float32),
+        model_valid=jnp.zeros((h, w), bool),
+        frame_index=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _local_volume(tsdf, weight, origin, voxel_size, trunc, axis_name):
+    """The shard's slab as a self-contained TsdfVolume with local origin."""
+    idx = jax.lax.axis_index(axis_name)
+    nx_local = tsdf.shape[0]
+    local_origin = origin + jnp.array([1.0, 0.0, 0.0], jnp.float32) * (
+        idx.astype(jnp.float32) * nx_local * voxel_size
+    )
+    return TsdfVolume(tsdf, weight, local_origin, voxel_size, trunc)
+
+
+def _halo_extend_x(tsdf, weight, axis_name, halo: int):
+    """Exchange ``halo`` X-planes with both neighbors via ppermute and
+    concatenate, so slab-local sampling sees across the boundary."""
+    n = jax.lax.psum(1, axis_name)
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]  # send to right
+    perm_bwd = [(i, (i - 1) % n) for i in range(n)]  # send to left
+
+    def exchange(arr):
+        top = arr[:halo]  # my lowest planes -> left neighbor's high halo
+        bottom = arr[-halo:]  # my highest planes -> right neighbor's low halo
+        from_left = jax.lax.ppermute(bottom, axis_name, perm_fwd)
+        from_right = jax.lax.ppermute(top, axis_name, perm_bwd)
+        return jnp.concatenate([from_left, arr, from_right], axis=0)
+
+    ext_t = exchange(tsdf)
+    ext_w = exchange(weight)
+    # First and last shard received wrapped-around planes; mark them
+    # unobserved so they cannot fabricate surfaces.
+    idx = jax.lax.axis_index(axis_name)
+    is_first = idx == 0
+    is_last = idx == n - 1
+    ext_w = ext_w.at[:halo].set(jnp.where(is_first, 0.0, ext_w[:halo]))
+    ext_t = ext_t.at[:halo].set(jnp.where(is_first, 1.0, ext_t[:halo]))
+    ext_w = ext_w.at[-halo:].set(jnp.where(is_last, 0.0, ext_w[-halo:]))
+    ext_t = ext_t.at[-halo:].set(jnp.where(is_last, 1.0, ext_t[-halo:]))
+    return ext_t, ext_w
+
+
+def make_sharded_step(
+    mesh: Mesh,
+    intr: Intrinsics,
+    levels: int = 3,
+    iterations: Tuple[int, ...] = (4, 3, 3),
+    max_raycast_steps: int = 96,
+    halo: int = 2,
+):
+    """Build the jitted SPMD fusion step for ``mesh``.
+
+    Returns step(state, raw_depth) -> state. One call tracks (coarse
+    replicated + fine psum-sharded ICP), integrates the slab-sharded
+    volume, and re-renders the model with halo-exchanged slab raycasts.
+    """
+    axis = VOLUME_AXIS
+
+    # --- integrate: shard-local ---------------------------------------
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P(), P()),
+        out_specs=(P(axis, None, None), P(axis, None, None)),
+    )
+    def integrate_shards(tsdf, weight, origin, voxel_size, trunc, depth, pose):
+        vol = _local_volume(tsdf, weight, origin, voxel_size, trunc, axis)
+        out = integrate_core(vol, depth, pose, intr)
+        return out.tsdf, out.weight
+
+    # --- raycast: slab march + pmin combine ----------------------------
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    def raycast_shards(tsdf, weight, origin, voxel_size, trunc, pose):
+        ext_t, ext_w = _halo_extend_x(tsdf, weight, axis, halo)
+        vol = _local_volume(tsdf, weight, origin, voxel_size, trunc, axis)
+        vol = TsdfVolume(
+            ext_t,
+            ext_w,
+            vol.origin - jnp.array([halo, 0, 0], jnp.float32) * voxel_size,
+            voxel_size,
+            trunc,
+        )
+        rc = raycast(vol, pose, intr, max_steps=max_raycast_steps)
+        # Nearest crossing across shards wins.
+        my_depth = jnp.where(rc.valid, rc.depth, jnp.inf)
+        best = jax.lax.pmin(my_depth, axis)
+        win = rc.valid & (my_depth <= best)
+        verts = jax.lax.psum(jnp.where(win[..., None], rc.vertices, 0.0), axis)
+        wins = jax.lax.psum(win.astype(jnp.float32), axis)
+        # Ties across halo overlaps: average (identical values anyway).
+        verts = verts / jnp.maximum(wins[..., None], 1.0)
+        valid = wins > 0
+        depth_out = jnp.where(valid, jnp.where(jnp.isinf(best), 0.0, best), 0.0)
+        return verts, valid, depth_out
+
+    # --- ICP fine level: rows sharded, psum'd normal equations ---------
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None, None),
+            P(axis, None),
+            P(),
+            P(),
+        ),
+        out_specs=(P(), P()),
+    )
+    def fine_normal_equations(lv, ln, mv, mn, mok, pose, prev_pose):
+        rot = pose[:3, :3]
+        t = pose[3, :3]
+        v_w = lv @ rot + t
+        n_w = ln @ rot
+        live_valid = (lv[..., 2] > 0) & (jnp.sum(ln * ln, axis=-1) > 0.25)
+        diff = v_w - mv
+        dist_ok = jnp.sum(diff * diff, axis=-1) < 0.01
+        cross = jnp.cross(n_w, mn)
+        angle_ok = jnp.sum(cross * cross, axis=-1) < 0.25
+        corr = live_valid & mok & dist_ok & angle_ok
+        g = jnp.concatenate([jnp.cross(v_w, mn), mn], axis=-1)
+        r = jnp.sum(mn * (mv - v_w), axis=-1)
+        w = corr.astype(jnp.float32)
+        gw = (g * w[..., None]).reshape(-1, 6)
+        rw = (r * w).reshape(-1)
+        a = jnp.matmul(gw.T, gw, precision="highest")
+        b = jnp.matmul(gw.T, rw, precision="highest")
+        return jax.lax.psum(a, axis), jax.lax.psum(b, axis)
+
+    @jax.jit
+    def step(state: ShardedKinFuState, raw_depth: jnp.ndarray) -> ShardedKinFuState:
+        pyr = build_pyramid(raw_depth, intr, levels=levels)
+
+        m_v = [state.model_vertices]
+        m_n = [state.model_normals]
+        m_ok = [state.model_valid]
+        for _ in range(1, levels):
+            m_v.append(downsample_map(m_v[-1]))
+            m_n.append(downsample_map(m_n[-1]))
+            m_ok.append(downsample_map(m_ok[-1]))
+
+        is_first = state.frame_index == 0
+
+        # Coarse levels replicated (small images).
+        coarse = icp_track(
+            pyr.vertices,
+            pyr.normals,
+            m_v,
+            m_n,
+            m_ok,
+            state.pose,
+            intr,
+            iterations=(0,) + tuple(iterations[1:]),
+        )
+        pose = coarse.pose
+
+        # Fine level: sharded psum'd Gauss-Newton iterations.
+        for _ in range(iterations[0]):
+            a, b = fine_normal_equations(
+                pyr.vertices[0],
+                pyr.normals[0],
+                m_v[0],
+                m_n[0],
+                m_ok[0],
+                pose,
+                state.pose,
+            )
+            x, ok = _solve_increment(a, b)
+            pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
+
+        new_pose = jnp.where(is_first, state.pose, pose)
+
+        vol = state.volume
+        tsdf, weight = integrate_shards(
+            vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc, raw_depth, new_pose
+        )
+        volume = vol._replace(tsdf=tsdf, weight=weight)
+
+        verts, valid, _depth = raycast_shards(
+            volume.tsdf, volume.weight, volume.origin, volume.voxel_size, volume.trunc, new_pose
+        )
+        # Normals from the combined vertex map (replicated, small).
+        rot = new_pose[:3, :3]
+        v_cam = jnp.where(
+            valid[..., None], (verts - new_pose[3, :3]) @ rot.T, 0.0
+        )
+        n_cam = vertex_normals(v_cam)
+        normals = n_cam @ rot
+        valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
+
+        return ShardedKinFuState(
+            volume=volume,
+            pose=new_pose,
+            model_vertices=jnp.where(valid[..., None], verts, 0.0),
+            model_normals=jnp.where(valid[..., None], normals, 0.0),
+            model_valid=valid,
+            frame_index=state.frame_index + 1,
+        )
+
+    return step
+
+
+def sharded_fusion_step(state, raw_depth, mesh, intr, **kwargs):
+    """Convenience one-shot wrapper (builds the step each call; for loops
+    use make_sharded_step once)."""
+    return make_sharded_step(mesh, intr, **kwargs)(state, raw_depth)
