@@ -1,0 +1,235 @@
+"""Isosurface extraction: TSDF volume -> triangle mesh.
+
+TPU replacement for PCL KinFu's marching-cubes extractor (SURVEY.md
+section 2b — the .ply mesh producer, ref README.md:16-17), implemented as
+MARCHING TETRAHEDRA: each cell splits into 6 tetrahedra around the main
+diagonal, and each tet's 16 sign cases triangulate with at most 2
+triangles. The case analysis is generated programmatically at import (no
+hand-copied 256-entry tables to get wrong) and the per-case triangle
+emission compiles to pure masked selects — zero gathers on the device.
+
+The irregular-output problem on a regular-shape compiler (SURVEY.md
+section 7 hard part b) is handled as prescribed: the device produces
+dense per-cell triangle-slot arrays slab by slab; the host compacts the
+valid slots. Orientation is fixed vectorized: triangle normals point
+from inside (tsdf < 0) to free space.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.io.ply import Mesh
+from housescan_tpu.kinfu.tsdf import TsdfVolume
+
+# Cube corners in standard MC ordering (bit k of a case = corner k inside).
+_CORNERS = np.array(
+    [
+        [0, 0, 0],
+        [1, 0, 0],
+        [1, 1, 0],
+        [0, 1, 0],
+        [0, 0, 1],
+        [1, 0, 1],
+        [1, 1, 1],
+        [0, 1, 1],
+    ],
+    np.int32,
+)
+
+# Six tetrahedra around the 0-6 main diagonal; each entry indexes _CORNERS.
+_TETS = np.array(
+    [
+        [0, 1, 2, 6],
+        [0, 2, 3, 6],
+        [0, 3, 7, 6],
+        [0, 7, 4, 6],
+        [0, 4, 5, 6],
+        [0, 5, 1, 6],
+    ],
+    np.int32,
+)
+
+# Tet-local edges as (corner a, corner b) local indices.
+_TET_EDGES = np.array(
+    [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]], np.int32
+)
+
+
+def _build_tet_cases():
+    """(16, 2, 3) triangle table: per sign case, up to 2 triangles whose
+    vertices are tet-edge ids; -1 pads. Generated, not transcribed."""
+    edge_id = {}
+    for e, (a, b) in enumerate(_TET_EDGES):
+        edge_id[(int(a), int(b))] = e
+        edge_id[(int(b), int(a))] = e
+
+    table = -np.ones((16, 2, 3), np.int32)
+    for case in range(16):
+        inside = [c for c in range(4) if case & (1 << c)]
+        outside = [c for c in range(4) if not case & (1 << c)]
+        if len(inside) == 1:
+            a = inside[0]
+            tris = [[edge_id[(a, o)] for o in outside]]
+        elif len(inside) == 3:
+            o = outside[0]
+            tris = [[edge_id[(o, i)] for i in inside]]
+        elif len(inside) == 2:
+            a, b = inside
+            c, d = outside
+            # Quad cycle (a,c) -> (b,c) -> (b,d) -> (a,d)
+            q = [edge_id[(a, c)], edge_id[(b, c)], edge_id[(b, d)], edge_id[(a, d)]]
+            tris = [[q[0], q[1], q[2]], [q[0], q[2], q[3]]]
+        else:
+            tris = []
+        for t, tri in enumerate(tris):
+            table[case, t] = tri
+    return table
+
+
+_TET_CASES = _build_tet_cases()
+MAX_TRIS_PER_CELL = 12  # 6 tets x up to 2 triangles
+
+
+def _slab_triangles(
+    tsdf_slab: jnp.ndarray,  # (SX+1, Y, Z)
+    weight_slab: jnp.ndarray,
+    x0: jnp.ndarray,
+    origin: jnp.ndarray,
+    voxel_size: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense triangle slots for one slab:
+    verts (SX, Y-1, Z-1, 12, 3, 3), valid (SX, Y-1, Z-1, 12)."""
+    sx = tsdf_slab.shape[0] - 1
+    ny = tsdf_slab.shape[1] - 1
+    nz = tsdf_slab.shape[2] - 1
+
+    corner_t = []
+    corner_w = []
+    for dx, dy, dz in _CORNERS:
+        corner_t.append(tsdf_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz])
+        corner_w.append(weight_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz])
+    observed = corner_w[0] > 0
+    for w in corner_w[1:]:
+        observed = observed & (w > 0)
+
+    gx = (x0 + jnp.arange(sx, dtype=jnp.float32))[:, None, None]
+    gy = jnp.arange(ny, dtype=jnp.float32)[None, :, None]
+    gz = jnp.arange(nz, dtype=jnp.float32)[None, None, :]
+    base = [gx, gy, gz]
+
+    vert_slots = []
+    valid_slots = []
+    for tet in _TETS:
+        vals = [corner_t[int(c)].astype(jnp.float32) for c in tet]
+        # Edge interpolation points for all 6 tet edges.
+        edge_pts = []
+        for a, b in _TET_EDGES:
+            va, vb = vals[int(a)], vals[int(b)]
+            ca, cb = _CORNERS[tet[int(a)]], _CORNERS[tet[int(b)]]
+            denom = vb - va
+            safe = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+            frac = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12, -va / safe, 0.5), 0.0, 1.0)
+            p = jnp.stack(
+                [
+                    base[k] + ca[k] + frac * (cb[k] - ca[k])
+                    for k in range(3)
+                ],
+                axis=-1,
+            )
+            edge_pts.append(p)  # (SX, ny, nz, 3)
+
+        bits = (
+            (vals[0] < 0).astype(jnp.int32)
+            | ((vals[1] < 0).astype(jnp.int32) << 1)
+            | ((vals[2] < 0).astype(jnp.int32) << 2)
+            | ((vals[3] < 0).astype(jnp.int32) << 3)
+        )
+        # Reference point inside the negative region for orientation.
+        neg_mask = [(v < 0).astype(jnp.float32) for v in vals]
+        neg_n = neg_mask[0] + neg_mask[1] + neg_mask[2] + neg_mask[3]
+        ref = 0.0
+        for local, v in enumerate(vals):
+            c = _CORNERS[tet[local]]
+            pos = jnp.stack(
+                jnp.broadcast_arrays(base[0] + c[0], base[1] + c[1], base[2] + c[2]),
+                axis=-1,
+            )
+            ref = ref + pos * neg_mask[local][..., None]
+        ref = ref / jnp.maximum(neg_n, 1.0)[..., None]
+
+        for slot in range(2):
+            v0 = jnp.zeros_like(edge_pts[0])
+            v1 = jnp.zeros_like(edge_pts[0])
+            v2 = jnp.zeros_like(edge_pts[0])
+            valid = jnp.zeros(bits.shape, bool)
+            for case in range(1, 15):
+                tri = _TET_CASES[case, slot]
+                if tri[0] < 0:
+                    continue
+                m = (bits == case)[..., None]
+                v0 = jnp.where(m, edge_pts[int(tri[0])], v0)
+                v1 = jnp.where(m, edge_pts[int(tri[1])], v1)
+                v2 = jnp.where(m, edge_pts[int(tri[2])], v2)
+                valid = valid | (bits == case)
+            valid = valid & observed
+            # Orient: normal away from the inside reference point.
+            n = jnp.cross(v1 - v0, v2 - v0)
+            centroid = (v0 + v1 + v2) / 3.0
+            flip = jnp.sum(n * (centroid - ref), axis=-1) < 0
+            v1f = jnp.where(flip[..., None], v2, v1)
+            v2f = jnp.where(flip[..., None], v1, v2)
+            vert_slots.append(jnp.stack([v0, v1f, v2f], axis=-2))
+            valid_slots.append(valid)
+
+    verts = jnp.stack(vert_slots, axis=-3)  # (SX, ny, nz, 12, 3, 3)
+    valid = jnp.stack(valid_slots, axis=-1)  # (SX, ny, nz, 12)
+    verts = (verts + 0.5) * voxel_size + origin
+    return verts, valid
+
+
+_slab_triangles_jit = jax.jit(_slab_triangles)
+
+
+def marching_cubes(
+    vol: TsdfVolume,
+    slab: int = 8,
+    min_weight: float = 1.0,
+) -> Mesh:
+    """Extract the zero-isosurface triangle mesh of a TSDF volume.
+
+    Device work proceeds in X-slabs (bounded memory); each slab's dense
+    triangle-slot array is compacted on the host. Returns a triangle-soup
+    Mesh (Meshlab and the .ply pipeline handle soups fine; dedup is a
+    host-side post-pass if needed).
+    """
+    r = vol.resolution
+    all_tris: List[np.ndarray] = []
+    for x0 in range(0, r - 1, slab):
+        sx = min(slab, r - 1 - x0)
+        tsdf_slab = jax.lax.dynamic_slice_in_dim(vol.tsdf, x0, sx + 1, 0)
+        w_slab = jax.lax.dynamic_slice_in_dim(vol.weight, x0, sx + 1, 0)
+        w_slab = jnp.where(w_slab >= min_weight, w_slab, 0.0)
+        verts, valid = _slab_triangles_jit(
+            tsdf_slab.astype(jnp.float32),
+            w_slab.astype(jnp.float32),
+            jnp.asarray(x0, jnp.float32),
+            vol.origin,
+            vol.voxel_size,
+        )
+        valid_np = np.asarray(valid)
+        if valid_np.any():
+            all_tris.append(np.asarray(verts)[valid_np])
+
+    if not all_tris:
+        return Mesh(
+            vertices=np.zeros((0, 3), np.float32), faces=np.zeros((0, 3), np.int32)
+        )
+    tris = np.concatenate(all_tris)
+    vertices = tris.reshape(-1, 3).astype(np.float32)
+    faces = np.arange(len(vertices), dtype=np.int32).reshape(-1, 3)
+    return Mesh(vertices=vertices, faces=faces)

