@@ -59,9 +59,11 @@ def main() -> None:
         init_pose=jnp.asarray(poses[0]),
     )
 
+    use_pallas = jax.default_backend() != "cpu" and resolution % 128 == 0
+
     # Warmup: compile + first (untracked) frame.
     t0 = time.time()
-    state = kinfu_step(state, device_frames[0], intr)
+    state = kinfu_step(state, device_frames[0], intr, use_pallas=use_pallas)
     state.pose.block_until_ready()
     float(jnp.sum(state.pose))  # force completion (block_until_ready is
     # unreliable on the axon platform)
@@ -70,7 +72,7 @@ def main() -> None:
 
     t0 = time.time()
     for i in range(1, n_frames + 1):
-        state = kinfu_step(state, device_frames[i], intr)
+        state = kinfu_step(state, device_frames[i], intr, use_pallas=use_pallas)
     float(jnp.sum(state.pose))
     elapsed = time.time() - t0
 

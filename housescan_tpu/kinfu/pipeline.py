@@ -173,9 +173,14 @@ def kinfu_step(
     # constant-velocity prediction) resamples the discretized TSDF along
     # rays it wasn't built from and picks up a coherent millimeter-scale
     # surface bias that feeds back into tracking as unbounded drift.
-    model = raycast(
-        volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
-    )
+    if use_pallas:
+        from housescan_tpu.ops.raycast_pallas import raycast_pallas
+
+        model = raycast_pallas(volume, new_pose, intr, z_min=z_min)
+    else:
+        model = raycast(
+            volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
+        )
 
     velocity = new_pose @ inverse_rigid(state.pose)
 

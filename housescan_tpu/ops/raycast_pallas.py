@@ -1,0 +1,285 @@
+"""Pallas plane-raycast: model maps from sub-block surface planes.
+
+Replaces per-ray TSDF sampling (1.8s/frame at 512^3 in XLA — near-scalar
+gathers) with pure arithmetic: surface planes fitted per (8, 8, 32)
+voxel sub-block (ops/planes_pallas.py) are intersected analytically with
+every pixel ray. Three phases:
+
+  1. XLA pairing: project each valid sub-block's bounding sphere into the
+     camera, assign it to the 8-pixel-tall image BANDS it can touch, sort
+     pairs by band, and gather per-band candidate tensors
+     (n_bands, 8 fields, MAX_CAND lanes). Small sorts/gathers, ~2ms.
+  2. Pallas kernel, grid over bands: all 8x640 rays of a band intersect
+     each candidate plane (scalars broadcast from the candidate lane via
+     one-hot reductions — no dynamic indexing), gated by the sub-block's
+     AABB and front-facing test, keeping the nearest hit.
+  3. Model normals come straight from the fitted planes — exactly the
+     local plane point-to-plane ICP wants.
+
+Accuracy model: exact for planar surfaces (rooms, walls, furniture
+faces); curved geometry is piecewise-planar at sub-block scale (~5cm at
+512^3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.tsdf import TsdfVolume
+from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z, extract_subblock_planes
+
+MAX_CAND = 256
+BIG = 1.0e9
+
+
+class PlaneRaycastResult(NamedTuple):
+    vertices: jnp.ndarray  # (H, W, 3) world
+    normals: jnp.ndarray  # (H, W, 3) unit, toward free space
+    valid: jnp.ndarray  # (H, W)
+    depth: jnp.ndarray  # (H, W) projective depth (0 invalid)
+
+
+def build_band_candidates(
+    planes: jnp.ndarray,  # (nbx, nbx, nsub*8)
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    vol: TsdfVolume,
+    z_min: float = 0.3,
+    max_band_span: int = 24,
+):
+    """Phase 1: (n_bands, 8, MAX_CAND) candidate tensor (XLA)."""
+    nbx = planes.shape[0]
+    nz_vol = vol.tsdf.shape[2]
+    nsub = nz_vol // SUB_Z
+    nb = nbx * nbx * nsub
+    n_bands = intr.height // 8
+
+    # planes is (nbx, nbx, 8, 128) field-major with nsub used lanes.
+    p = jnp.transpose(planes[:, :, :, :nsub], (0, 1, 3, 2)).reshape(nb, N_FIELDS)
+    valid = p[:, 4] > 0.5
+
+    ids = jnp.arange(nb)
+    bi = ids // (nbx * nsub)
+    bj = (ids // nsub) % nbx
+    bs = ids % nsub
+    vs = vol.voxel_size
+    centers = jnp.stack(
+        [
+            vol.origin[0] + (bi * 8 + 4) * vs,
+            vol.origin[1] + (bj * 8 + 4) * vs,
+            vol.origin[2] + (bs * SUB_Z + SUB_Z // 2) * vs,
+        ],
+        axis=1,
+    )
+    radius = vs * 17.0  # half-diagonal of an (8,8,32) voxel box
+
+    rot = pose[:3, :3]
+    t = pose[3, :3]
+    cam = (centers - t) @ rot.T
+    z = cam[:, 2]
+    in_front = z + radius > z_min
+
+    # Front-facing: the plane normal (toward free space) must face the
+    # camera from somewhere near the block.
+    n_w = p[:, 0:3]
+    facing = jnp.sum(n_w * (t - centers), axis=1) > -radius
+
+    safe_z = jnp.maximum(z - radius, 0.05)
+    u = intr.fx * cam[:, 0] / jnp.maximum(z, 1e-6) + intr.cx
+    v = intr.fy * cam[:, 1] / jnp.maximum(z, 1e-6) + intr.cy
+    pr_u = intr.fx * radius / safe_z
+    pr_v = intr.fy * radius / safe_z
+    u_overlap = (u + pr_u > 0) & (u - pr_u < intr.width)
+    v0 = jnp.clip(jnp.floor((v - pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
+    v1 = jnp.clip(jnp.ceil((v + pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
+
+    keep = valid & in_front & facing & u_overlap
+    span = jnp.where(keep, v1 - v0 + 1, 0)
+
+    # Emit up to max_band_span (band, block) pairs per sub-block.
+    k = jnp.arange(max_band_span)
+    pair_band = jnp.where(
+        keep[:, None] & (k[None, :] < span[:, None]),
+        v0[:, None] + k[None, :],
+        n_bands,  # sentinel: sorts to the end
+    ).reshape(-1)
+    pair_block = jnp.broadcast_to(ids[:, None], (nb, max_band_span)).reshape(-1)
+
+    order = jnp.argsort(pair_band)
+    sorted_bands = pair_band[order]
+    sorted_blocks = pair_block[order]
+
+    start = jnp.searchsorted(sorted_bands, jnp.arange(n_bands))
+    slot = start[:, None] + jnp.arange(MAX_CAND)[None, :]
+    slot_c = jnp.clip(slot, 0, sorted_bands.shape[0] - 1)
+    slot_band = sorted_bands[slot_c]
+    slot_block = sorted_blocks[slot_c]
+    slot_ok = slot_band == jnp.arange(n_bands)[:, None]
+
+    cand = p[slot_block]  # (n_bands, MAX_CAND, 8)
+    cand = jnp.where(slot_ok[..., None], cand, 0.0)
+    return jnp.transpose(cand, (0, 2, 1))  # (n_bands, 8, MAX_CAND)
+
+
+def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo):
+    b = pl.program_id(0)
+
+    r00, r01, r02 = params[0], params[1], params[2]
+    r10, r11, r12 = params[3], params[4], params[5]
+    r20, r21, r22 = params[6], params[7], params[8]
+    tx, ty, tz = params[9], params[10], params[11]
+    fx, fy, cx, cy = params[12], params[13], params[14], params[15]
+    z_min = params[16]
+    vs = params[17]
+    ox, oy, oz = params[18], params[19], params[20]
+    nbx = params[21].astype(jnp.int32)
+    nsub = params[22].astype(jnp.int32)
+
+    w = d_out.shape[1]
+    u_pix = jax.lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(jnp.float32)
+    v_pix = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, w), 0).astype(jnp.float32)
+        + (b * 8).astype(jnp.float32)
+    )
+    dcx = (u_pix - cx) / fx
+    dcy = (v_pix - cy) / fy
+    dwx = dcx * r00 + dcy * r10 + r20
+    dwy = dcx * r01 + dcy * r11 + r21
+    dwz = dcx * r02 + dcy * r12 + r22
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_CAND), 1)
+    f0 = cand[0, 0, :].reshape(1, MAX_CAND)
+    f1 = cand[0, 1, :].reshape(1, MAX_CAND)
+    f2 = cand[0, 2, :].reshape(1, MAX_CAND)
+    f3 = cand[0, 3, :].reshape(1, MAX_CAND)
+    f4 = cand[0, 4, :].reshape(1, MAX_CAND)
+    f6 = cand[0, 6, :].reshape(1, MAX_CAND)
+
+    def body(c, carry):
+        best_t, bnx, bny, bnz = carry
+        oh = (lane == c).astype(jnp.float32)
+        nx = jnp.sum(f0 * oh)
+        ny = jnp.sum(f1 * oh)
+        nz = jnp.sum(f2 * oh)
+        d = jnp.sum(f3 * oh)
+        ok = jnp.sum(f4 * oh)
+        bid = jnp.sum(f6 * oh).astype(jnp.int32)
+
+        def hit_test(args):
+            best_t, bnx, bny, bnz = args
+            denom = nx * dwx + ny * dwy + nz * dwz
+            safe = jnp.where(jnp.abs(denom) > 1e-9, denom, -1e-9)
+            tq = (d - (nx * tx + ny * ty + nz * tz)) / safe
+            px = tx + tq * dwx
+            py = ty + tq * dwy
+            pz = tz + tq * dwz
+            # Sub-block AABB with a margin of 1.5 voxels.
+            i_blk = (bid // (nbx * nsub)).astype(jnp.float32)
+            j_blk = ((bid // nsub) % nbx).astype(jnp.float32)
+            s_blk = (bid % nsub).astype(jnp.float32)
+            cxw = ox + (i_blk * 8 + 4) * vs
+            cyw = oy + (j_blk * 8 + 4) * vs
+            czw = oz + (s_blk * SUB_Z + SUB_Z / 2) * vs
+            hx = 4 * vs + 1.5 * vs
+            hz = (SUB_Z / 2) * vs + 1.5 * vs
+            inside = (
+                (jnp.abs(px - cxw) <= hx)
+                & (jnp.abs(py - cyw) <= hx)
+                & (jnp.abs(pz - czw) <= hz)
+            )
+            front = denom < 0.0  # normal (toward free space) faces the ray
+            hit = front & inside & (tq > z_min) & (tq < best_t)
+            best_t = jnp.where(hit, tq, best_t)
+            bnx = jnp.where(hit, nx, bnx)
+            bny = jnp.where(hit, ny, bny)
+            bnz = jnp.where(hit, nz, bnz)
+            return best_t, bnx, bny, bnz
+
+        return jax.lax.cond(ok > 0.5, hit_test, lambda a: a, (best_t, bnx, bny, bnz))
+
+    init = (
+        jnp.full((8, w), BIG, jnp.float32),
+        jnp.zeros((8, w), jnp.float32),
+        jnp.zeros((8, w), jnp.float32),
+        jnp.zeros((8, w), jnp.float32),
+    )
+    best_t, bnx, bny, bnz = jax.lax.fori_loop(0, MAX_CAND, body, init)
+
+    got = best_t < BIG
+    tq = jnp.where(got, best_t, 0.0)
+    d_out[...] = tq
+    vx[...] = jnp.where(got, tx + tq * dwx, 0.0)
+    vy[...] = jnp.where(got, ty + tq * dwy, 0.0)
+    vz[...] = jnp.where(got, tz + tq * dwz, 0.0)
+    nxo[...] = bnx
+    nyo[...] = bny
+    nzo[...] = bnz
+
+
+@partial(jax.jit, static_argnames=("intr", "interpret"))
+def raycast_planes(
+    planes: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    vol: TsdfVolume,
+    z_min: float = 0.3,
+    interpret: bool = False,
+) -> PlaneRaycastResult:
+    """Phases 1+2: per-band candidates then the band-raycast kernel."""
+    nbx = planes.shape[0]
+    nsub = vol.tsdf.shape[2] // SUB_Z
+    n_bands = intr.height // 8
+
+    cand = build_band_candidates(planes, pose, intr, vol, z_min=z_min)
+
+    rot = pose[:3, :3]
+    t = pose[3, :3]
+    params = jnp.concatenate(
+        [
+            rot.reshape(-1),
+            t.reshape(-1),
+            jnp.array([intr.fx, intr.fy, intr.cx, intr.cy, z_min], jnp.float32),
+            vol.voxel_size.reshape(1),
+            vol.origin.reshape(-1),
+            jnp.array([nbx, nsub], jnp.float32),
+            jnp.zeros((9,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+    shape2d = jax.ShapeDtypeStruct((intr.height, intr.width), jnp.float32)
+    outs = pl.pallas_call(
+        _kernel,
+        grid=(n_bands,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_FIELDS, MAX_CAND), lambda b: (b, 0, 0)),
+        ],
+        out_specs=[pl.BlockSpec((8, intr.width), lambda b: (b, 0))] * 7,
+        out_shape=[shape2d] * 7,
+        interpret=interpret,
+    )(params, cand)
+
+    depth, vx, vy, vz, nx, ny, nz = outs
+    vertices = jnp.stack([vx, vy, vz], axis=-1)
+    normals = jnp.stack([nx, ny, nz], axis=-1)
+    valid = depth > 0
+    return PlaneRaycastResult(vertices, normals, valid, depth)
+
+
+def raycast_pallas(
+    vol: TsdfVolume,
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    z_min: float = 0.3,
+    interpret: bool = False,
+) -> PlaneRaycastResult:
+    """Full pipeline: extract sub-block planes, then plane-raycast."""
+    planes = extract_subblock_planes(vol, interpret=interpret)
+    return raycast_planes(planes, pose, intr, vol, z_min=z_min, interpret=interpret)

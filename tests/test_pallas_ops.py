@@ -54,3 +54,46 @@ class TestPallasIntegrateParity:
                 INTR,
                 interpret=True,
             )
+
+
+class TestPlaneRaycast:
+    def test_plane_extraction_matches_band_counts(self):
+        import jax.numpy as jnp
+
+        from housescan_tpu.ops.planes_pallas import extract_subblock_planes
+
+        half, boxes = furnished_room()
+        poses = orbit_poses(2, radius=0.25, yaw_range=0.05, pitch=0.25)
+        frames = render_depth_stream(INTR, poses, half, boxes=boxes)
+        vol = tsdf_integrate(
+            tsdf_new(128, 3.0, 0.06), jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR
+        )
+        planes = extract_subblock_planes(vol, interpret=True)
+        P = np.asarray(planes)  # (16,16,8,128), 4 used lanes
+        counts = P[:, :, 5, :4]
+        t = np.asarray(vol.tsdf)
+        w = np.asarray(vol.weight)
+        band = (w > 0) & (np.abs(t) < 0.99)
+        truth = band.reshape(16, 8, 16, 8, 4, 32).sum(axis=(1, 3, 5))
+        np.testing.assert_array_equal(counts, truth)
+
+    def test_raycast_depth_quality(self):
+        import jax.numpy as jnp
+
+        from housescan_tpu.ops.raycast_pallas import raycast_pallas
+
+        half, boxes = furnished_room()
+        poses = orbit_poses(4, radius=0.25, yaw_range=0.1, pitch=0.25)
+        frames = render_depth_stream(INTR, poses, half, boxes=boxes)
+        vol = tsdf_new(128, 3.0, 0.06)
+        for k in range(4):
+            vol = tsdf_integrate(vol, jnp.asarray(frames[k]), jnp.asarray(poses[k]), INTR)
+        rc = raycast_pallas(vol, jnp.asarray(poses[0]), INTR, interpret=True)
+        valid = np.asarray(rc.valid)
+        assert valid.mean() > 0.9
+        m = valid & (frames[0] > 0)
+        err = np.abs(np.asarray(rc.depth)[m] - frames[0][m])
+        # median sub-mm on planar surfaces even at coarse 128^3
+        assert np.median(err) < 0.002
+        # outlier tail (occlusion-edge plane extensions) stays bounded
+        assert (err > 0.05).mean() < 0.08
