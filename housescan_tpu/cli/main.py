@@ -1,0 +1,357 @@
+"""housescan-tpu command line.
+
+The headless replacement for the reference's GLUT key bindings
+(ref Main.hs:950-1008): every interactive operation is a subcommand over
+a checkpoint file instead of a keypress over IORef state.
+
+    scan            depth stream -> room directory        (was: external KinFu)
+    detect-planes   cloud -> planes.txt + hulls           (was: external PCL tool)
+    add-room        load a room dir into the scene        (was: '1'/'/' setups)
+    suggest         corner suggestion (+auto-adopt 8)     (was: 'g')
+    fit-cuboid      cuboid fit, replace geometry          (was: 'f')
+    auto-align      align floor plane to +Y               (was: 'a')
+    connect         connect two walls                     (was: 'w'/'W')
+    disconnect      disconnect two walls                  (was: ctrl-W)
+    optimize        global room-position least squares    (was: 'o')
+    move / move-wall / swap / remove-ceiling              (was: arrows, menu)
+    export          .xf files + pcl command lines + placed full-res models
+                                                          (was: 'e' + external tools)
+    save / load     checkpoint with migrations            (was: 's'/'l')
+    demo            synthetic multi-room end-to-end run   (was: devSetup)
+    info            scene summary                         (was: ShortShow dumps)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+DEFAULT_SCENE = "scene.housescan"
+
+
+def _load_scene(path):
+    from housescan_tpu.io.checkpoint import load_scene
+    from housescan_tpu.rooms.types import Scene
+
+    if Path(path).exists():
+        return load_scene(path)
+    return Scene()
+
+
+def _save_scene(scene, path):
+    from housescan_tpu.io.checkpoint import save_scene
+
+    save_scene(scene, path)
+
+
+def _room_by_id(scene, room_id):
+    if room_id is None:
+        if len(scene.rooms) != 1:
+            raise SystemExit(
+                f"--room required ({len(scene.rooms)} rooms in scene: "
+                f"{sorted(scene.rooms)})"
+            )
+        return next(iter(scene.rooms.values()))
+    if room_id not in scene.rooms:
+        raise SystemExit(f"no room {room_id}; have {sorted(scene.rooms)}")
+    return scene.rooms[room_id]
+
+
+def cmd_scan(args):
+    from housescan_tpu.capture.replay import load_stream
+    from housescan_tpu.kinfu.scan import scan_to_room_dir
+
+    stream = load_stream(args.stream)
+    out = scan_to_room_dir(
+        stream, args.out, write_mesh=args.mesh, progress=True
+    )
+    print(f"scanned {len(stream)} frames -> {out}")
+
+
+def cmd_detect_planes(args):
+    from housescan_tpu.io.pcd import load_pcd
+    from housescan_tpu.kinfu.ransac import detect_planes_to_dir
+
+    cloud = load_pcd(args.cloud)
+    det = detect_planes_to_dir(cloud.points, Path(args.cloud).parent)
+    print(f"detected {int(det.n_planes)} planes")
+
+
+def cmd_add_room(args):
+    from housescan_tpu.rooms import load_room
+
+    scene = _load_scene(args.scene)
+    room = load_room(scene, args.room_dir)
+    if args.grid_slot is not None:
+        from housescan_tpu.rooms import translate_room
+
+        k = args.grid_slot
+        # Cantor-diagonal grid placement (ref Main.hs:2328-2331, :2504)
+        pairs = [(a, n - 1 - a) for n in range(1, 50) for a in range(n)]
+        gx, gz = pairs[k]
+        spacing = args.grid_spacing
+        room = translate_room(room, np.array([gx * spacing, 0, gz * spacing], np.float32))
+        scene.update_room(room)
+    _save_scene(scene, args.scene)
+    print(f"room {room.room_id} added ({len(room.cloud.points)} pts, "
+          f"{len(room.planes)} planes)")
+
+
+def cmd_suggest(args):
+    from housescan_tpu.rooms import suggest_corners
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    room = suggest_corners(scene, room, cutoff_factor=args.cutoff)
+    _save_scene(scene, args.scene)
+    print(
+        f"room {room.room_id}: {len(room.corners)} corners, "
+        f"{len(room.suggested_corners)} suggestions"
+    )
+
+
+def cmd_fit_cuboid(args):
+    from housescan_tpu.rooms import fit_cuboid_to_room
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    result = fit_cuboid_to_room(scene, room)
+    if result is None:
+        raise SystemExit("not enough room corners; need 8 (run `suggest` first)")
+    _, rmse, steps = result
+    _save_scene(scene, args.scene)
+    print(f"fit cuboid in {steps} steps, RMSE: {rmse:.6f} m")
+
+
+def cmd_auto_align(args):
+    from housescan_tpu.rooms import auto_align_floor
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    if auto_align_floor(scene, room) is None:
+        raise SystemExit("room has no planes")
+    _save_scene(scene, args.scene)
+    print("aligned floor to +Y")
+
+
+def cmd_connect(args):
+    from housescan_tpu.rooms import connect_walls
+    from housescan_tpu.rooms.types import WallRelation
+
+    scene = _load_scene(args.scene)
+    rel = WallRelation.same() if args.same else WallRelation.opposite(args.thickness)
+    axis = connect_walls(scene, args.plane1, args.plane2, rel)
+    if axis is None:
+        raise SystemExit("could not connect: planes not walls of two rooms, or axes disagree")
+    _save_scene(scene, args.scene)
+    print(f"connected walls {args.plane1},{args.plane2} along {axis.name}")
+
+
+def cmd_disconnect(args):
+    from housescan_tpu.rooms import disconnect_walls
+
+    scene = _load_scene(args.scene)
+    disconnect_walls(scene, args.plane1, args.plane2)
+    _save_scene(scene, args.scene)
+    print("disconnected")
+
+
+def cmd_optimize(args):
+    from housescan_tpu.rooms import optimize_room_positions
+
+    scene = _load_scene(args.scene)
+    results = optimize_room_positions(scene)
+    _save_scene(scene, args.scene)
+    for axis, n, rmse in results:
+        print(f"aligned {axis.name} component ({n} constraints) RMSE {rmse:.4f}")
+    if not results:
+        print("no wall connections to optimize")
+
+
+def cmd_export(args):
+    from housescan_tpu.rooms import (
+        export_all_room_pcl_transforms,
+        export_all_room_xf_files,
+        export_room_full_res,
+    )
+
+    scene = _load_scene(args.scene)
+    out = Path(args.out)
+    xfs = export_all_room_xf_files(scene, out / "xf")
+    print(f"wrote {len(xfs)} .xf files to {out/'xf'}")
+    for line in export_all_room_pcl_transforms(scene):
+        print(line)
+    if args.full_res:
+        for rid, room in scene.rooms.items():
+            src = Path(room.name) / "cloud_bin.pcd"
+            if src.exists():
+                dst = export_room_full_res(room, out / f"room{rid}-placed.ply")
+                print(f"placed full-res: {dst}")
+
+
+def cmd_remove_ceiling(args):
+    from housescan_tpu.rooms import remove_ceiling
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    scene.update_room(remove_ceiling(room, fraction=args.fraction))
+    _save_scene(scene, args.scene)
+    print("ceiling removed")
+
+
+def cmd_move(args):
+    from housescan_tpu.rooms import translate_room
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    scene.update_room(
+        translate_room(room, np.array([args.dx, args.dy, args.dz], np.float32))
+    )
+    _save_scene(scene, args.scene)
+    print(f"moved room {room.room_id}")
+
+
+def cmd_info(args):
+    scene = _load_scene(args.scene)
+    print(f"scene: {len(scene.rooms)} rooms, {len(scene.connected_walls)} wall "
+          f"connections, next_id={scene.next_id}")
+    for rid, room in sorted(scene.rooms.items()):
+        print(
+            f"  room {rid}: {len(room.cloud.points)} pts, {len(room.planes)} planes, "
+            f"{len(room.corners)} corners, {len(room.suggested_corners)} suggested"
+            f"  [{room.name}]"
+        )
+        for p in room.planes:
+            n = p.normal
+            print(f"    plane {p.plane_id}: n=({n[0]:+.2f},{n[1]:+.2f},{n[2]:+.2f}) d={p.d:+.3f}")
+
+
+def cmd_demo(args):
+    """Synthetic end-to-end demo (the reference's devSetup, Main.hs:2334)."""
+    from housescan_tpu.rooms import (
+        Scene,
+        WallRelation,
+        connect_walls,
+        fit_cuboid_to_room,
+        load_room,
+        optimize_room_positions,
+        suggest_corners,
+        export_all_room_xf_files,
+    )
+    from housescan_tpu.testing import make_synthetic_room_dir
+
+    work = Path(args.out)
+    scene = Scene()
+    dims = (4.0, 2.5, 5.0)
+    rooms = []
+    for i in range(args.rooms):
+        d = make_synthetic_room_dir(
+            work / f"room{i}",
+            dims=dims,
+            seed=i,
+            offset=np.array([i * (dims[0] + 0.35), 0, 0]),
+        )
+        r = load_room(scene, d)
+        r = suggest_corners(scene, r)
+        r, rmse, _ = fit_cuboid_to_room(scene, r)
+        print(f"room {i}: cuboid RMSE {rmse*1000:.2f} mm")
+        rooms.append(r)
+    for a in range(len(rooms) - 1):
+        pa = min(rooms[a].planes, key=lambda p: p.normal[0])
+        pb = max(rooms[a + 1].planes, key=lambda p: p.normal[0])
+        connect_walls(scene, pa.plane_id, pb.plane_id, WallRelation.opposite(0.1))
+    results = optimize_room_positions(scene)
+    for axis, n, rmse in results:
+        print(f"aligned {axis.name} ({n} constraints) RMSE {rmse:.5f}")
+    export_all_room_xf_files(scene, work / "xf")
+    _save_scene(scene, args.scene)
+    print(f"demo scene saved to {args.scene}")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="housescan-tpu",
+        description="TPU-native building-scale interior reconstruction",
+    )
+    parser.add_argument("--scene", default=DEFAULT_SCENE, help="scene checkpoint file")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("scan", help="fuse a depth stream into a room directory")
+    p.add_argument("stream")
+    p.add_argument("out")
+    p.add_argument("--mesh", action="store_true")
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("detect-planes", help="RANSAC planes for a cloud")
+    p.add_argument("cloud")
+    p.set_defaults(fn=cmd_detect_planes)
+
+    p = sub.add_parser("add-room", help="load a room directory into the scene")
+    p.add_argument("room_dir")
+    p.add_argument("--grid-slot", type=int, default=None)
+    p.add_argument("--grid-spacing", type=float, default=6.0)
+    p.set_defaults(fn=cmd_add_room)
+
+    p = sub.add_parser("suggest", help="suggest room corners")
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument("--cutoff", type=float, default=1.2)
+    p.set_defaults(fn=cmd_suggest)
+
+    p = sub.add_parser("fit-cuboid", help="fit a cuboid to the room corners")
+    p.add_argument("--room", type=int, default=None)
+    p.set_defaults(fn=cmd_fit_cuboid)
+
+    p = sub.add_parser("auto-align", help="align the floor plane to +Y")
+    p.add_argument("--room", type=int, default=None)
+    p.set_defaults(fn=cmd_auto_align)
+
+    p = sub.add_parser("connect", help="connect two wall planes")
+    p.add_argument("plane1", type=int)
+    p.add_argument("plane2", type=int)
+    p.add_argument("--same", action="store_true", help="same wall (not opposite)")
+    p.add_argument("--thickness", type=float, default=0.1)
+    p.set_defaults(fn=cmd_connect)
+
+    p = sub.add_parser("disconnect", help="disconnect two wall planes")
+    p.add_argument("plane1", type=int)
+    p.add_argument("plane2", type=int)
+    p.set_defaults(fn=cmd_disconnect)
+
+    p = sub.add_parser("optimize", help="least-squares room positions")
+    p.set_defaults(fn=cmd_optimize)
+
+    p = sub.add_parser("export", help="export transforms and placed models")
+    p.add_argument("--out", default="export")
+    p.add_argument("--full-res", action="store_true")
+    p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("remove-ceiling", help="drop top points to peek inside")
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument("--fraction", type=float, default=0.2)
+    p.set_defaults(fn=cmd_remove_ceiling)
+
+    p = sub.add_parser("move", help="translate a room")
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument("dx", type=float)
+    p.add_argument("dy", type=float)
+    p.add_argument("dz", type=float)
+    p.set_defaults(fn=cmd_move)
+
+    p = sub.add_parser("info", help="scene summary")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("demo", help="synthetic multi-room end-to-end demo")
+    p.add_argument("--rooms", type=int, default=3)
+    p.add_argument("--out", default="demo_rooms")
+    p.set_defaults(fn=cmd_demo)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

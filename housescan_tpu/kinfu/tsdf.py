@@ -291,15 +291,38 @@ def extract_surface_points(
     """Zero-crossing voxel centers as a fixed-capacity point set.
 
     A cheap surface dump (the full mesh comes from marching_cubes):
-    voxels whose tsdf changes sign against the +z neighbor. Returns
-    (points (max_points, 3), count); unused slots are zeros.
+    voxels whose tsdf changes sign against the +x, +y, or +z neighbor —
+    all three axes, so surfaces of every orientation are sampled (a
+    z-only sweep misses floors and side walls). Sub-voxel interpolation
+    along the first crossing axis. Returns (points (max_points, 3),
+    count); unused slots are zeros.
     """
     r = vol.resolution
     t = vol.tsdf.astype(jnp.float32)
     w = vol.weight.astype(jnp.float32)
-    nz = jnp.concatenate([t[:, :, 1:], t[:, :, -1:]], axis=2)
-    wz = jnp.concatenate([w[:, :, 1:], w[:, :, -1:]], axis=2)
-    crossing = (jnp.sign(t) != jnp.sign(nz)) & (w >= min_weight) & (wz >= min_weight)
+
+    def neighbor(axis):
+        tn = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(t, 1, t.shape[axis], axis=axis),
+                jax.lax.slice_in_dim(t, t.shape[axis] - 1, t.shape[axis], axis=axis),
+            ],
+            axis=axis,
+        )
+        wn = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(w, 1, w.shape[axis], axis=axis),
+                jax.lax.slice_in_dim(w, w.shape[axis] - 1, w.shape[axis], axis=axis),
+            ],
+            axis=axis,
+        )
+        cross = (jnp.sign(t) != jnp.sign(tn)) & (w >= min_weight) & (wn >= min_weight)
+        return tn, cross
+
+    tnx, cx = neighbor(0)
+    tny, cy = neighbor(1)
+    tnz, cz = neighbor(2)
+    crossing = cx | cy | cz
 
     flat = crossing.reshape(-1)
     # Stable compaction: indices of the first max_points crossings.
@@ -311,12 +334,33 @@ def extract_surface_points(
     i = k // (r * r)
     j = (k // r) % r
     kz = k % r
-    # Sub-voxel position along z from linear interpolation of the crossing.
+
     t0 = jnp.take(t.reshape(-1), picked)
-    t1 = jnp.take(nz.reshape(-1), picked)
-    alpha = jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 / (t0 - t1), 0.5)
+
+    def alpha_for(tn, cmask):
+        t1 = jnp.take(tn.reshape(-1), picked)
+        a = jnp.where(jnp.abs(t0 - t1) > 1e-12, t0 / (t0 - t1), 0.5)
+        return jnp.where(jnp.take(cmask.reshape(-1), picked), jnp.clip(a, 0.0, 1.0), 0.0)
+
+    # Offset along the first crossing axis (priority z, y, x).
+    has_z = jnp.take(cz.reshape(-1), picked)
+    has_y = jnp.take(cy.reshape(-1), picked)
+    az = alpha_for(tnz, cz)
+    ay = alpha_for(tny, cy)
+    ax = alpha_for(tnx, cx)
+    off_z = jnp.where(has_z, az, 0.0)
+    off_y = jnp.where(~has_z & has_y, ay, 0.0)
+    off_x = jnp.where(~has_z & ~has_y, ax, 0.0)
+
     pos = (
-        jnp.stack([i.astype(jnp.float32), j.astype(jnp.float32), kz.astype(jnp.float32) + alpha], -1)
+        jnp.stack(
+            [
+                i.astype(jnp.float32) + off_x,
+                j.astype(jnp.float32) + off_y,
+                kz.astype(jnp.float32) + off_z,
+            ],
+            -1,
+        )
         + 0.5
     ) * vol.voxel_size + vol.origin
     valid = jnp.arange(max_points) < count

@@ -48,13 +48,18 @@ def make_planes_from_cuboid(
     """
     rot = np.asarray(quat_rot_mat(jnp.asarray(quat, jnp.float32)))
     a, b, c = float(dims[0]), float(dims[1]), float(dims[2])
+    # INWARD-facing normals: the +a/2 face gets normal -x, etc. (The
+    # reference built these with outward normals, ref Main.hs:1855-1860,
+    # inconsistent with its own loadRoom inward normalization at
+    # Main.hs:1744-1751; we keep inward as the package-wide invariant so
+    # wall selection by normal sign is reliable.)
     origin_eqs = [
-        (np.array([1.0, 0, 0], np.float32), a / 2),
-        (np.array([-1.0, 0, 0], np.float32), a / 2),
-        (np.array([0, 1.0, 0], np.float32), b / 2),
-        (np.array([0, -1.0, 0], np.float32), b / 2),
-        (np.array([0, 0, 1.0], np.float32), c / 2),
-        (np.array([0, 0, -1.0], np.float32), c / 2),
+        (np.array([-1.0, 0, 0], np.float32), -a / 2),
+        (np.array([1.0, 0, 0], np.float32), -a / 2),
+        (np.array([0, -1.0, 0], np.float32), -b / 2),
+        (np.array([0, 1.0, 0], np.float32), -b / 2),
+        (np.array([0, 0, -1.0], np.float32), -c / 2),
+        (np.array([0, 0, 1.0], np.float32), -c / 2),
     ]
 
     # Tolerance scale: face membership is checked in absolute meters
