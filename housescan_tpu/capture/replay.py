@@ -83,7 +83,9 @@ def load_stream(path: Union[str, Path]) -> DepthStream:
         cy=float(ia[5]),
     )
     scale = float(data["depth_scale"]) if "depth_scale" in data else 0.001
-    frames = data["depth_mm"].astype(np.float32) * scale
+    from housescan_tpu.io import native
+
+    frames = native.decode_u16_depth(data["depth_mm"], scale)
     poses = data["poses"] if "poses" in data.files else None
     return DepthStream(frames=frames, intrinsics=intr, poses=poses)
 

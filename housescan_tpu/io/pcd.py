@@ -105,14 +105,16 @@ def load_pcd(path: Union[str, Path]) -> PointCloud:
     dtype = np.dtype(np_fields)
 
     if mode == "ascii":
-        text = data[payload_start:].decode("ascii", errors="replace")
         ncols = sum(counts)
-        values = np.array(text.split(), dtype=np.float64)
-        if values.size != n_points * ncols:
-            raise PcdFormatError(
-                f"PCD ascii payload has {values.size} values, expected {n_points * ncols}"
+        from housescan_tpu.io import native
+
+        try:
+            values = native.parse_ascii_floats(
+                data[payload_start:], n_points * ncols
             )
-        table = values.reshape(n_points, ncols)
+        except ValueError as e:
+            raise PcdFormatError(f"PCD ascii payload: {e}") from None
+        table = values.astype(np.float64).reshape(n_points, ncols)
         rec = np.empty(n_points, dtype=dtype)
         col = 0
         for name, count in zip(fields, counts):

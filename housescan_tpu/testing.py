@@ -60,15 +60,16 @@ def cuboid_room_points(
             normals.append(n)
             ds.append(d)
 
-            # Hull = the 4 face corners
+            # Hull = the 4 face corners in PERIMETER order (a raw
+            # double-loop order would make a self-intersecting bowtie,
+            # breaking point-in-polygon tests downstream)
             corners = []
-            for su in (-1, 1):
-                for sv in (-1, 1):
-                    p = np.zeros(3)
-                    p[axis] = sign * half[axis]
-                    p[u] = su * half[u]
-                    p[v] = sv * half[v]
-                    corners.append(p)
+            for su, sv in ((-1, -1), (-1, 1), (1, 1), (1, -1)):
+                p = np.zeros(3)
+                p[axis] = sign * half[axis]
+                p[u] = su * half[u]
+                p[v] = sv * half[v]
+                corners.append(p)
             hulls.append(np.stack(corners))
 
     points = np.concatenate(points).astype(np.float32)

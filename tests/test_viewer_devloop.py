@@ -1,0 +1,148 @@
+"""Tests for the headless viewer (picking, rendering), devloop, metrics,
+and RANSAC plane detection."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.rooms import Scene, load_room, suggest_corners
+from housescan_tpu.testing import cuboid_room_points, make_synthetic_room_dir
+from housescan_tpu.viewer import pick, render_scene, visible_objects
+
+INTR = Intrinsics(width=160, height=120, fx=131.25, fy=131.25, cx=79.5, cy=59.5)
+
+
+@pytest.fixture
+def scene_with_room(tmp_path):
+    scene = Scene()
+    d = make_synthetic_room_dir(tmp_path / "room", dims=(4.0, 2.5, 5.0), seed=1)
+    room = load_room(scene, d)
+    room = suggest_corners(scene, room)
+    return scene, room
+
+
+def _camera_inside():
+    # camera at origin looking +z (room is centered at origin)
+    return np.eye(4, dtype=np.float32)
+
+
+class TestPicking:
+    def test_center_pixel_picks_far_wall(self, scene_with_room):
+        scene, room = scene_with_room
+        r = pick(scene, _camera_inside(), INTR, u=80, v=60)
+        assert r.kind in ("plane", "cloud")
+        assert r.room_id == room.room_id
+        # the far wall is at z=2.5; hit depth close to that
+        assert 2.0 < r.t < 3.0
+
+    def test_corner_pick_overrides_plane(self, scene_with_room):
+        scene, room = scene_with_room
+        # project a known corner into the camera and pick there
+        corner = next(c for _, c in room.corners if c[2] > 0)
+        u = INTR.fx * corner[0] / corner[2] + INTR.cx
+        v = INTR.fy * corner[1] / corner[2] + INTR.cy
+        if not (0 <= u < INTR.width and 0 <= v < INTR.height):
+            pytest.skip("corner outside the test camera view")
+        r = pick(scene, _camera_inside(), INTR, u=u, v=v, corner_radius=0.1)
+        assert r.kind == "corner"
+
+    def test_visible_objects_sweep(self, scene_with_room):
+        scene, room = scene_with_room
+        objs = visible_objects(scene, _camera_inside(), INTR, step=24)
+        kinds = {o.kind for o in objs}
+        assert "plane" in kinds or "cloud" in kinds
+
+    def test_empty_scene_picks_none(self):
+        r = pick(Scene(), _camera_inside(), INTR, 80, 60)
+        assert r.kind == "none"
+
+
+class TestRender:
+    def test_render_writes_image(self, scene_with_room, tmp_path):
+        scene, _ = scene_with_room
+        img = render_scene(scene, _camera_inside(), INTR, tmp_path / "scene.ppm")
+        assert img.shape == (120, 160, 3)
+        # the room cloud must actually appear (non-background pixels)
+        assert (img.max(axis=-1) > 0.2).mean() > 0.01
+        files = list(tmp_path.glob("scene.*"))
+        assert files and files[0].stat().st_size > 1000
+
+
+class TestDevloop:
+    def test_state_survives_reload(self, scene_with_room):
+        from housescan_tpu.devloop import get_state, reload_framework, store_state
+
+        scene, room = scene_with_room
+        store_state(scene)
+        n = reload_framework()
+        assert n > 10
+        restored = get_state()
+        assert restored is scene
+        assert room.room_id in restored.rooms
+
+    def test_schema_change_refuses_restore(self, scene_with_room, monkeypatch):
+        from housescan_tpu.devloop import get_state, store_state
+        import housescan_tpu.devloop.reload as rl
+
+        scene, _ = scene_with_room
+        store_state(scene, slot="s2")
+        # simulate a schema change by tampering with the stored fingerprint
+        fp, state = rl._STORE["s2"]
+        rl._STORE["s2"] = (fp + "x", state)
+        assert get_state("s2") is None
+
+
+class TestMetrics:
+    def test_observe_and_summary(self, tmp_path):
+        from housescan_tpu.utils.metrics import Metrics
+
+        m = Metrics(sink_path=tmp_path / "m.jsonl")
+        for v in (1.0, 2.0, 3.0):
+            m.observe("icp_rmse_mm", v)
+        with m.timer("step"):
+            pass
+        s = m.summary()
+        assert s["icp_rmse_mm"]["count"] == 3
+        assert s["icp_rmse_mm"]["mean"] == pytest.approx(2.0)
+        assert "step" in s
+        assert (tmp_path / "m.jsonl").read_text().count("\n") == 4
+
+
+class TestRansac:
+    def test_detects_cuboid_room_planes(self):
+        from housescan_tpu.kinfu.ransac import detect_planes
+
+        pts, normals, ds, _ = cuboid_room_points((4.0, 2.5, 5.0), n_per_face=600, rng=np.random.default_rng(0))
+        det = detect_planes(
+            jnp.asarray(pts), jax.random.PRNGKey(0), max_planes=8, min_inliers=300
+        )
+        assert int(det.n_planes) == 6
+        # every detected plane matches one of the true face planes
+        found_n = np.asarray(det.normals[:6])
+        found_d = np.asarray(det.ds[:6])
+        for n_true, d_true in zip(normals, ds):
+            dots = found_n @ n_true
+            match = (np.abs(dots) > 0.999) & (np.abs(np.abs(found_d) - abs(d_true)) < 0.01)
+            assert match.any(), f"plane {n_true} d={d_true} not found"
+
+    def test_to_dir_round_trips_through_load_room(self, tmp_path):
+        from housescan_tpu.io.pcd import save_pcd
+        from housescan_tpu.kinfu.ransac import detect_planes_to_dir
+        from housescan_tpu.rooms import load_room
+
+        pts, _, _, _ = cuboid_room_points((4.0, 2.5, 5.0), n_per_face=600, rng=np.random.default_rng(1))
+        d = tmp_path / "r"
+        d.mkdir()
+        save_pcd(d / "cloud_downsampled.pcd", pts)
+        det = detect_planes_to_dir(pts, d, min_inliers=300)
+        assert int(det.n_planes) == 6
+        scene = Scene()
+        room = load_room(scene, d)
+        assert len(room.planes) == 6
+        # hull polygons are on their planes
+        for p in room.planes:
+            err = np.abs(p.bounds @ p.normal - p.d)
+            assert err.max() < 0.02
