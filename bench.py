@@ -77,6 +77,12 @@ def main() -> None:
     elapsed = time.time() - t0
 
     fps = n_frames / elapsed
+    pose_err_mm = (
+        float(np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[n_frames][3, :3]))
+        * 1000.0
+    )
+    print(f"# pose error vs ground truth after {n_frames} frames: "
+          f"{pose_err_mm:.2f} mm", file=sys.stderr)
     print(
         f"# {n_frames} frames in {elapsed:.2f}s; icp rmse "
         f"{float(state.last_rmse)*1000:.3f}mm corr {int(state.last_corr)}",

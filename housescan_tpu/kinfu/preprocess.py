@@ -54,20 +54,25 @@ def bilateral_filter(
 
 
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with zero fill (zeros = invalid depth)."""
+    """Shift with zero fill (zeros = invalid depth).
+
+    Border zeroing uses iota masks (pure elementwise selects) rather than
+    scatter-style .at[].set updates, which XLA:TPU does not fuse into the
+    surrounding elementwise program — with 49 bilateral taps that was the
+    difference between a fused filter and 33ms of preprocessing.
+    """
+    h, w = img.shape
     out = img
     if dy:
         out = jnp.roll(out, dy, axis=0)
-        if dy > 0:
-            out = out.at[:dy, :].set(0.0)
-        else:
-            out = out.at[dy:, :].set(0.0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        keep = rows >= dy if dy > 0 else rows < h + dy
+        out = jnp.where(keep, out, 0.0)
     if dx:
         out = jnp.roll(out, dx, axis=1)
-        if dx > 0:
-            out = out.at[:, :dx].set(0.0)
-        else:
-            out = out.at[:, dx:].set(0.0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        keep = cols >= dx if dx > 0 else cols < w + dx
+        out = jnp.where(keep, out, 0.0)
     return out
 
 

@@ -52,7 +52,7 @@ def build_band_candidates(
     intr: Intrinsics,
     vol: TsdfVolume,
     z_min: float = 0.3,
-    max_band_span: int = 24,
+    max_band_span: int = 16,
 ):
     """Phase 1: (n_bands, 8, MAX_CAND) candidate tensor (XLA)."""
     nbx = planes.shape[0]
@@ -101,16 +101,32 @@ def build_band_candidates(
     v1 = jnp.clip(jnp.ceil((v + pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
 
     keep = valid & in_front & facing & u_overlap
-    span = jnp.where(keep, v1 - v0 + 1, 0)
 
-    # Emit up to max_band_span (band, block) pairs per sub-block.
+    # COMPACT first: sorting (nb * span) keys at 512^3 means 1.5M entries
+    # (~25ms of XLA argsort); selecting the NV most relevant sub-blocks
+    # first keeps the pair sort at ~200K keys.
+    nv = min(16384, nb)
+    sel = jnp.argsort(~keep)[:nv]  # kept blocks first, stable
+    keep_s = keep[sel]
+    v0_s = v0[sel]
+    v1_s = v1[sel]
+    # Near blocks can span more bands than the cap; CENTER the emitted
+    # range on the block's projection so the clipping is symmetric
+    # (one-sided clipping made nearby surfaces invisible to edge bands).
+    full_span = v1_s - v0_s + 1
+    over = full_span > max_band_span
+    shift = jnp.where(over, (full_span - max_band_span) // 2, 0)
+    v0_s = v0_s + shift
+    span = jnp.where(keep_s, jnp.minimum(full_span, max_band_span), 0)
+
+    # Emit up to max_band_span (band, block) pairs per selected sub-block.
     k = jnp.arange(max_band_span)
     pair_band = jnp.where(
-        keep[:, None] & (k[None, :] < span[:, None]),
-        v0[:, None] + k[None, :],
+        keep_s[:, None] & (k[None, :] < span[:, None]),
+        v0_s[:, None] + k[None, :],
         n_bands,  # sentinel: sorts to the end
     ).reshape(-1)
-    pair_block = jnp.broadcast_to(ids[:, None], (nb, max_band_span)).reshape(-1)
+    pair_block = jnp.broadcast_to(sel[:, None], (nv, max_band_span)).reshape(-1)
 
     order = jnp.argsort(pair_band)
     sorted_bands = pair_band[order]
@@ -210,7 +226,11 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo):
         jnp.zeros((8, w), jnp.float32),
         jnp.zeros((8, w), jnp.float32),
     )
-    best_t, bnx, bny, bnz = jax.lax.fori_loop(0, MAX_CAND, body, init)
+    # Candidates are packed to the front by the pairing phase; loop only
+    # to this band's actual count (most bands carry far fewer than
+    # MAX_CAND candidates — this is a ~4-6x raycast speedup).
+    n_cand = jnp.sum(f4).astype(jnp.int32)
+    best_t, bnx, bny, bnz = jax.lax.fori_loop(0, n_cand, body, init)
 
     got = best_t < BIG
     tq = jnp.where(got, best_t, 0.0)

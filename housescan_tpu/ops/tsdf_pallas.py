@@ -82,12 +82,18 @@ def _kernel(
     tsdf_out[...] = tsdf_in[...]
     w_out[...] = w_in[...]
 
-    zlane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK_Z), 1).astype(jnp.float32)
+    # Tile-wise coordinates: (8, 128) with SUBLANE = iy and LANE = z.
+    # Per-row (1, 128) processing wastes 7/8 of every VPU op; keeping all
+    # 8 y-rows of an x-slab in one tile is an ~8x win for the coordinate,
+    # classification, and update math (the per-row one-hot matmuls keep
+    # their shape — slicing a value row is free).
+    zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(jnp.float32)
+    iy_sub = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 0).astype(jnp.float32)
 
-    def row_coords(ix_f, iy_f, zc_f):
-        """Camera and pixel coords for one (1, 128) z-run."""
+    def tile_coords(ix_f, zc_f):
+        """Camera and pixel coords for an (8 iy, 128 z) slab tile."""
         xw = ox + (i * 8 + ix_f + 0.5) * vs
-        yw = oy + (j * 8 + iy_f + 0.5) * vs
+        yw = oy + (j * 8 + iy_sub + 0.5) * vs
         zw = oz + (zc_f * CHUNK_Z + zlane + 0.5) * vs
         dx = xw - tx
         dy = yw - ty
@@ -107,36 +113,31 @@ def _kernel(
         )
         return uf, vf, zc, in_view
 
-    def update_rows(zchunk, zc_f, get_depth_row):
-        """Shared RMW over the chunk's 64 z-runs; ``get_depth_row``
-        returns (d, has_depth) for a run's (uf, vf).
+    def update_tiles(zchunk, zc_f, get_depth_tile):
+        """Shared RMW over the chunk's 8 x-slabs; ``get_depth_tile``
+        returns (d, has_depth) as (8, 128) tiles for a slab's (uf, vf).
 
-        Loop structure is dictated by Mosaic addressing rules: the OUTER
-        fori runs over ix (dim 0 of the block — dynamic indexing allowed),
-        the INNER loop over iy (the sublane dim) is statically unrolled
-        (dynamic sublane indexing is not implemented)."""
+        The outer fori runs over ix (dim 0 of the block — dynamic
+        indexing is allowed there); each iteration reads/writes a full
+        (8 iy, 128 z) tile, so every VPU op runs at full sublane
+        occupancy."""
 
         def body(ix, _):
-            ix_f = ix.astype(jnp.float32)
-            for iy in range(8):
-                uf, vf, zc, iv = row_coords(ix_f, float(iy), zc_f)
-                d, has_depth = get_depth_row(uf, vf)
-                zc2 = zc.reshape(1, CHUNK_Z)
-                sdf = d - zc2
-                update = iv.reshape(1, CHUNK_Z) & has_depth & (sdf >= -trunc)
-                sample = jnp.clip(sdf / trunc, -1.0, 1.0)
+            uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32), zc_f)
+            d, has_depth = get_depth_tile(uf, vf)
+            sdf = d - zc
+            update = iv & has_depth & (sdf >= -trunc)
+            sample = jnp.clip(sdf / trunc, -1.0, 1.0)
 
-                zoff = zchunk * CHUNK_Z
-                told = tsdf_out[ix, iy, pl.ds(zoff, CHUNK_Z)].reshape(1, CHUNK_Z)
-                wold = w_out[ix, iy, pl.ds(zoff, CHUNK_Z)].reshape(1, CHUNK_Z)
-                wadd = update.astype(jnp.float32)
-                wnew = jnp.minimum(wold + wadd, max_weight)
-                denom = jnp.maximum(wold + wadd, 1.0)
-                tnew = (told * wold + sample * wadd) / denom
-                tsdf_out[ix, iy, pl.ds(zoff, CHUNK_Z)] = jnp.where(
-                    update, tnew, told
-                ).reshape(CHUNK_Z)
-                w_out[ix, iy, pl.ds(zoff, CHUNK_Z)] = wnew.reshape(CHUNK_Z)
+            zoff = zchunk * CHUNK_Z
+            told = tsdf_out[ix, :, pl.ds(zoff, CHUNK_Z)]
+            wold = w_out[ix, :, pl.ds(zoff, CHUNK_Z)]
+            wadd = update.astype(jnp.float32)
+            wnew = jnp.minimum(wold + wadd, max_weight)
+            denom = jnp.maximum(wold + wadd, 1.0)
+            tnew = (told * wold + sample * wadd) / denom
+            tsdf_out[ix, :, pl.ds(zoff, CHUNK_Z)] = jnp.where(update, tnew, told)
+            w_out[ix, :, pl.ds(zoff, CHUNK_Z)] = wnew
             return 0
 
         jax.lax.fori_loop(0, 8, body, 0)
@@ -144,22 +145,18 @@ def _kernel(
     def process_chunk(zchunk):
         zc_f = zchunk.astype(jnp.float32)
 
-        # ---- chunk bounding box over all 64 z-runs ----
-        # (outer fori over ix, static iy: same addressing constraint as
-        # update_rows; coords need no memory access but keep the shape)
+        # ---- chunk bounding box, one (8, 128) tile per x-slab ----
         def bbox_body(ix, carry):
             umin, umax, vmin, vmax, zmin, zmax, anyv = carry
-            ix_f = ix.astype(jnp.float32)
             big = jnp.float32(BIG)
-            for iy in range(8):
-                uf, vf, zc, iv = row_coords(ix_f, float(iy), zc_f)
-                umin = jnp.minimum(umin, jnp.min(jnp.where(iv, uf, big)))
-                umax = jnp.maximum(umax, jnp.max(jnp.where(iv, uf, -big)))
-                vmin = jnp.minimum(vmin, jnp.min(jnp.where(iv, vf, big)))
-                vmax = jnp.maximum(vmax, jnp.max(jnp.where(iv, vf, -big)))
-                zmin = jnp.minimum(zmin, jnp.min(jnp.where(iv, zc, big)))
-                zmax = jnp.maximum(zmax, jnp.max(jnp.where(iv, zc, -big)))
-                anyv = anyv | jnp.any(iv)
+            uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32), zc_f)
+            umin = jnp.minimum(umin, jnp.min(jnp.where(iv, uf, big)))
+            umax = jnp.maximum(umax, jnp.max(jnp.where(iv, uf, -big)))
+            vmin = jnp.minimum(vmin, jnp.min(jnp.where(iv, vf, big)))
+            vmax = jnp.maximum(vmax, jnp.max(jnp.where(iv, vf, -big)))
+            zmin = jnp.minimum(zmin, jnp.min(jnp.where(iv, zc, big)))
+            zmax = jnp.maximum(zmax, jnp.max(jnp.where(iv, zc, -big)))
+            anyv = anyv | jnp.any(iv)
             return umin, umax, vmin, vmax, zmin, zmax, anyv
 
         big = jnp.float32(BIG)
@@ -200,11 +197,11 @@ def _kernel(
         def _():
             def free_depth(uf, vf):
                 # Everything in front: a huge d gives sample = +1 exactly.
-                return jnp.full((1, CHUNK_Z), BIG, jnp.float32), jnp.full(
-                    (1, CHUNK_Z), True
+                return jnp.full((8, CHUNK_Z), BIG, jnp.float32), jnp.full(
+                    (8, CHUNK_Z), True
                 )
 
-            update_rows(zchunk, zc_f, free_depth)
+            update_tiles(zchunk, zc_f, free_depth)
 
         @pl.when(band)
         def _():
@@ -256,30 +253,40 @@ def _kernel(
             )
 
             def band_update(window, rows_iota):
-                """window (R, WIN_U); one-hot bilinear lookup per z-run."""
+                """window (R, WIN_U); one-hot bilinear lookup, one matmul
+                pair per (1, 128) z-run, tile-wise everything else."""
                 valid_w = (window > 0.0).astype(jnp.float32)
                 num_t = window.T  # (WIN_U, R)
                 den_t = valid_w.T
 
-                def get_depth_row(uf, vf):
-                    uw = uf.reshape(1, CHUNK_Z) / scale - u0
-                    vw = vf.reshape(1, CHUNK_Z) / scale - v0
-                    wr = jnp.maximum(0.0, 1.0 - jnp.abs(vw - rows_iota))
-                    wc = jnp.maximum(0.0, 1.0 - jnp.abs(uw - cols_i))
-                    tnum = jax.lax.dot_general(
-                        num_t, wr, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (WIN_U, Z)
-                    tden = jax.lax.dot_general(
-                        den_t, wr, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    num = jnp.sum(tnum * wc, axis=0).reshape(1, CHUNK_Z)
-                    den = jnp.sum(tden * wc, axis=0).reshape(1, CHUNK_Z)
+                def get_depth_tile(uf, vf):
+                    uw = uf / scale - u0
+                    vw = vf / scale - v0
+                    d_rows = []
+                    den_rows = []
+                    for iy in range(8):
+                        wr = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_iota)
+                        )
+                        wc = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
+                        )
+                        tnum = jax.lax.dot_general(
+                            num_t, wr, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (WIN_U, Z)
+                        tden = jax.lax.dot_general(
+                            den_t, wr, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        d_rows.append(jnp.sum(tnum * wc, axis=0).reshape(1, CHUNK_Z))
+                        den_rows.append(jnp.sum(tden * wc, axis=0).reshape(1, CHUNK_Z))
+                    num = jnp.concatenate(d_rows, axis=0)  # (8, Z)
+                    den = jnp.concatenate(den_rows, axis=0)
                     d = num / jnp.maximum(den, 1e-12)
                     return d, den > 1e-6
 
-                update_rows(zchunk, zc_f, get_depth_row)
+                update_tiles(zchunk, zc_f, get_depth_tile)
 
             @pl.when(level == 0)
             def _():
