@@ -86,13 +86,18 @@ def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def _integrate_dispatch(volume, raw_depth, new_pose, intr, max_weight, use_pallas):
+    """Returns (volume, planes-or-None); the Pallas kernel extracts the
+    raycast's surface planes in the same pass over the volume."""
     if use_pallas:
-        from housescan_tpu.ops.tsdf_pallas import tsdf_integrate_pallas
+        from housescan_tpu.ops.tsdf_pallas import tsdf_integrate_with_planes
 
-        return tsdf_integrate_pallas(
+        return tsdf_integrate_with_planes(
             volume, raw_depth, new_pose, intr, max_weight=max_weight
         )
-    return tsdf_integrate(volume, raw_depth, new_pose, intr, max_weight=max_weight)
+    return (
+        tsdf_integrate(volume, raw_depth, new_pose, intr, max_weight=max_weight),
+        None,
+    )
 
 
 def pallas_supported(volume_resolution: int) -> bool:
@@ -164,7 +169,7 @@ def kinfu_step(
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
 
-    volume = _integrate_dispatch(
+    volume, fused_planes = _integrate_dispatch(
         state.volume, raw_depth, new_pose, intr, max_weight, use_pallas
     )
 
@@ -174,9 +179,9 @@ def kinfu_step(
     # rays it wasn't built from and picks up a coherent millimeter-scale
     # surface bias that feeds back into tracking as unbounded drift.
     if use_pallas:
-        from housescan_tpu.ops.raycast_pallas import raycast_pallas
+        from housescan_tpu.ops.raycast_pallas import raycast_planes
 
-        model = raycast_pallas(volume, new_pose, intr, z_min=z_min)
+        model = raycast_planes(fused_planes, new_pose, intr, volume, z_min=z_min)
     else:
         model = raycast(
             volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
