@@ -115,6 +115,42 @@ class ReplaySource:
         return frame
 
 
+class PrefetchingSource:
+    """Background-thread prefetcher over any frame source.
+
+    The host-async piece of the streaming loop (SURVEY.md section 2c:
+    'host async … capture + export around the device loop'): a worker
+    thread decodes/loads frames into a bounded queue while the device
+    fuses the previous one. The native uint16 decode
+    (io.native.decode_u16_depth) runs on the worker, off the main thread.
+    """
+
+    def __init__(self, source, depth: int = 4):
+        import queue
+        import threading
+
+        self._source = source
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    @property
+    def intrinsics(self):
+        return self._source.intrinsics
+
+    def _run(self):
+        while True:
+            frame = self._source.read()
+            self._q.put(self._done if frame is None else frame)
+            if frame is None:
+                return
+
+    def read(self):
+        item = self._q.get()
+        return None if item is self._done else item
+
+
 def take_depth_snapshot(config: Optional[CameraConfig] = None):
     """Live single-frame capture (ref HoniHelper.hs:20-42).
 

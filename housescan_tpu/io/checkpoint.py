@@ -115,6 +115,27 @@ def save_scene(scene: Scene, path: Union[str, Path] = DEFAULT_PATH) -> Path:
     return path
 
 
+def save_scene_async(scene: Scene, path: Union[str, Path] = DEFAULT_PATH):
+    """Background checkpoint write (the host-async analog of the
+    reference's forkIO usage, SURVEY.md section 2c): snapshots the scene
+    SYNCHRONOUSLY (cheap: references numpy arrays, which are never
+    mutated in place by the pipeline — ops replace them) and writes the
+    zip on a worker thread. Returns the Thread; join() it to guarantee
+    durability."""
+    import copy
+    import threading
+
+    snapshot = Scene(
+        rooms=dict(scene.rooms),
+        connected_walls=list(scene.connected_walls),
+        next_id=scene.next_id,
+        planes=dict(scene.planes),
+    )
+    t = threading.Thread(target=save_scene, args=(snapshot, path), daemon=True)
+    t.start()
+    return t
+
+
 # --- migrations -----------------------------------------------------------
 
 def _migrate_v1_to_v2(manifest: dict) -> dict:

@@ -96,3 +96,57 @@ class TestScanBridge:
         center = room.mean()
         for p in room.planes:
             assert float(np.dot(center - p.mean(), p.normal)) > 0
+
+
+class TestPrefetchingSource:
+    def test_prefetch_preserves_order_and_count(self, stream_file):
+        from housescan_tpu.capture.replay import PrefetchingSource
+
+        path, frames, _ = stream_file
+        src = PrefetchingSource(ReplaySource.open(path), depth=2)
+        got = []
+        while (f := src.read()) is not None:
+            got.append(f)
+        assert len(got) == len(frames)
+        np.testing.assert_allclose(got[0], frames[0], atol=6e-4)
+        np.testing.assert_allclose(got[-1], frames[-1], atol=6e-4)
+
+    def test_many_concurrent_streams(self, stream_file):
+        """Threading stress: several prefetchers draining in parallel
+        (the queue-discipline testing SURVEY.md section 5 calls for)."""
+        import threading
+
+        from housescan_tpu.capture.replay import PrefetchingSource
+
+        path, frames, _ = stream_file
+        counts = []
+        lock = threading.Lock()
+
+        def drain():
+            src = PrefetchingSource(ReplaySource.open(path), depth=1)
+            n = 0
+            while src.read() is not None:
+                n += 1
+            with lock:
+                counts.append(n)
+
+        threads = [threading.Thread(target=drain) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert counts == [len(frames)] * 8
+
+
+class TestAsyncCheckpoint:
+    def test_async_save_is_loadable(self, tmp_path):
+        from housescan_tpu.io.checkpoint import load_scene, save_scene_async
+        from housescan_tpu.rooms import Scene, load_room
+        from housescan_tpu.testing import make_synthetic_room_dir
+
+        scene = Scene()
+        load_room(scene, make_synthetic_room_dir(tmp_path / "r", seed=5))
+        t = save_scene_async(scene, tmp_path / "async.housescan")
+        t.join(timeout=30)
+        loaded = load_scene(tmp_path / "async.housescan")
+        assert set(loaded.rooms) == set(scene.rooms)
