@@ -2,20 +2,39 @@
 
 The raycast bottleneck on TPU is per-ray volume sampling (XLA gathers run
 near-scalar: the classic marcher took 1.8s/frame at 512^3). This kernel
-removes sampling from the hot path entirely: for every (8, 8, 32) voxel
-sub-block it least-squares-fits a LOCAL SURFACE PLANE to the truncation
-band (sdf ~ s0 + g.(p - p_mean) over band voxels), so raycasting becomes
-pure ray-plane intersection against a few thousand candidate planes
-(ops/raycast_pallas.py). Interior scan targets are near-planar at 5cm
+removes sampling from the hot path: for every (8, 8, SUB_Z) voxel
+sub-block it fits a LOCAL SURFACE PLANE, so raycasting becomes pure
+ray-plane intersection against a few thousand candidate planes
+(ops/raycast_pallas.py). Interior scan targets are near-planar at this
 scale — and point-to-plane ICP consumes exactly a local plane anyway.
 
-Moment accumulation is fully vectorized: per x-slab, 8 moment expressions
-reduce over sublanes and then segment-reduce over the 16 z-sub-chunks
-with ONE tiny matmul against a static segment-indicator matrix.
+Fitting method (v2): total least squares over the sub-block's TSDF
+ZERO-CROSSING POINTS, sub-voxel interpolated along all three axes.
+Crossings sample the actual surface, so the fit is unbiased. (v1 fitted
+the sdf FIELD by linear regression; the projective TSDF's level sets
+are only parallel to the surface AT the zero crossing, so band voxels
+away from the surface dragged those normals a few degrees off — enough
+for point-to-plane ICP to turn model error into steady drift at full
+camera resolution.) The plane normal is the smallest-eigenvalue
+eigenvector of the centered crossing covariance, recovered with
+ridge-regularized INVERSE POWER ITERATIONS — each step one Cramer 3x3
+solve, vectorized over sub-chunks, no eigen routine needed in-kernel.
+A cheap sdf-correlation pass provides the orientation sign (the sdf
+gradient points into free space). Degenerate crossing sets (near-
+collinear slivers at block corners) are rejected by an in-plane-spread
+test so they never feed arbitrary normals to ICP.
 
-Output tensor: (nbx, nbx, 8, 128) f32 = [i, j, field, sub-chunk] (lanes
+All moment accumulation is vectorized: per x-slab the moment rows
+reduce over sublanes, then segment-reduce over the z sub-chunks with
+one tiny matmul against a static indicator matrix; neighbor access for
+crossing detection is pltpu.roll (lane/sublane rotate) plus one clamped
+dynamic slab read for the +x family.
+
+Output tensor: (nbx, nbx, 16, 128) f32 = [i, j, field, sub-chunk] (lanes
 beyond nsub are padding) with fields [nx, ny, nz, d, valid, count,
-subblock_id, pad]; world-frame Hessian plane n.p = d.
+subblock_id, in-plane radius, centroid x, y, z, 5x pad]; world-frame
+Hessian plane n.p = d through the crossing centroid, with hits bounded
+to `radius` of the centroid (silhouette-extension trim).
 """
 
 from __future__ import annotations
@@ -29,21 +48,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 from housescan_tpu.kinfu.tsdf import TsdfVolume
 
-SUB_Z = 32
-N_SUB = 16  # sub-chunks per 512-voxel column
-N_FIELDS = 8
+# Sub-block z-extent: 8 makes blocks CUBIC (8x8x8 voxels, ~5cm at
+# 512^3/3m). An earlier 32 swallowed multiple surfaces per block near
+# furniture (e.g. floor + box front in one block -> eigenvalues with no
+# small gap -> no plane), punching holes straight through the rendered
+# model where ICP needs it most.
+SUB_Z = 8
+N_FIELDS = 16
+
+# Validity gates (voxel^2 eigenvalue units of the crossing covariance).
+RIDGE = 1e-4
+# Max out-of-plane variance. Planar blocks sit at ~1e-8..1e-2; true
+# corner blocks at >3. The loose 1.5 keeps coverage over curved /
+# oblique regions (their blended normals are filtered downstream by
+# ICP's normal-agreement gate) while still dropping hard two-plane
+# corners whose intersections would be pure noise.
+LAMBDA_MIN_MAX = 1.5
+LAMBDA_MID_MIN = 0.1  # min sideways spread: rejects collinear slivers
 
 
-def _kernel(params, tsdf_in, w_in, out_ref):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def plane_fields_for_block(tsdf_ref, w_ref, i, j, vs, ox, oy, oz, nbx, min_count):
+    """Crossing-point plane fit over one (8, 8, nz) VMEM block.
 
-    vs = params[0]
-    ox, oy, oz = params[1], params[2], params[3]
-    min_count = params[4]
-
-    nz = tsdf_in.shape[2]
-    nsub = nz // SUB_Z  # static (from the ref shape)
+    ``tsdf_ref`` / ``w_ref`` support ``[ix] -> (8, nz)`` slab reads.
+    Returns the (N_FIELDS, nsub) field matrix described in the module
+    docstring. Shared by this standalone kernel and the fused
+    integrate-and-extract pass in ops/tsdf_pallas.py.
+    """
+    nz = tsdf_ref.shape[2]
+    nsub = nz // SUB_Z
 
     # Static segment matrix: lane z -> sub-chunk one-hot.
     zi = jax.lax.broadcasted_iota(jnp.int32, (nz, nsub), 0)
@@ -51,134 +84,262 @@ def _kernel(params, tsdf_in, w_in, out_ref):
     seg = ((zi // SUB_Z) == si).astype(jnp.float32)
 
     iy_f = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 0).astype(jnp.float32)
-    z_f = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 1).astype(jnp.float32)
-    zz = z_f - (z_f // SUB_Z) * SUB_Z  # z within sub-chunk, [0, 32)
+    z_idx = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 1)
+    z_f = z_idx.astype(jnp.float32)
+    zz = z_f - (z_f // SUB_Z) * SUB_Z  # z within sub-chunk [0, SUB_Z)
+    not_last_z = (z_idx < nz - 1).astype(jnp.float32)
+    not_last_y = (iy_f < 7.0).astype(jnp.float32)
 
-    def slab_moments(ix, carry):
-        """Accumulate the 8 plain moment rows and 3 x-weighted rows."""
-        acc, accx = carry
-        t = tsdf_in[ix]  # (8, nz)
-        w = w_in[ix]
-        band = (w > 0.0) & (jnp.abs(t) < 0.99)
-        m = band.astype(jnp.float32)
-        s = t  # sdf in trunc units
+    def crossing_rows(mask, wt, px, py, pz):
+        """(11, nz) moment rows for one crossing family.
 
-        rows = jnp.concatenate(
+        ``mask`` is the 0/1 crossing indicator, ``wt`` the fusion-weight
+        factor. Moments use m = mask*wt — a crossing backed by many
+        fused frames outvotes one from a single (possibly mistracked)
+        frame, the closed-loop analog of the XLA raycast's strict
+        support gate. Row 10 keeps the RAW count for the validity gate
+        and the reported count field."""
+        m = mask * wt
+        return jnp.concatenate(
             [
                 jnp.sum(m, axis=0, keepdims=True),
-                jnp.sum(m * s, axis=0, keepdims=True),
-                jnp.sum(m * iy_f, axis=0, keepdims=True),
-                jnp.sum(m * zz, axis=0, keepdims=True),
-                jnp.sum(m * iy_f * s, axis=0, keepdims=True),
-                jnp.sum(m * zz * s, axis=0, keepdims=True),
-                jnp.sum(m * iy_f * iy_f, axis=0, keepdims=True),
-                jnp.sum(m * zz * zz, axis=0, keepdims=True),
-                jnp.sum(m * iy_f * zz, axis=0, keepdims=True),
+                jnp.sum(m * px, axis=0, keepdims=True),
+                jnp.sum(m * py, axis=0, keepdims=True),
+                jnp.sum(m * pz, axis=0, keepdims=True),
+                jnp.sum(m * px * px, axis=0, keepdims=True),
+                jnp.sum(m * py * py, axis=0, keepdims=True),
+                jnp.sum(m * pz * pz, axis=0, keepdims=True),
+                jnp.sum(m * px * py, axis=0, keepdims=True),
+                jnp.sum(m * px * pz, axis=0, keepdims=True),
+                jnp.sum(m * py * pz, axis=0, keepdims=True),
+                jnp.sum(mask, axis=0, keepdims=True),
             ],
             axis=0,
-        )  # (9, nz)
-        r = jax.lax.dot_general(
-            rows, seg, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (9, 16)
+        )
+
+    def roll_next(arr, axis):
+        """arr shifted so position k holds arr[k+1] (pltpu.roll only
+        accepts non-negative shifts, so rotate by size-1)."""
+        return pltpu.roll(arr, arr.shape[axis] - 1, axis)
+
+    def alpha(t0, t1):
+        denom = t0 - t1
+        ok = jnp.abs(denom) > 1e-12
+        return jnp.clip(
+            jnp.where(ok, t0 / jnp.where(ok, denom, 1.0), 0.5), 0.0, 1.0
+        )
+
+    def slab_pass(ix, acc):
         x = ix.astype(jnp.float32)
-        xrow = jnp.concatenate(
-            [r[0:1] * x, r[0:1] * (x * x), r[1:2] * x, r[2:3] * x, r[3:4] * x],
+        t = tsdf_ref[ix]  # (8, nz)
+        w = w_ref[ix]
+        obs = w > 0.0
+
+        def wt(wa, wb):
+            # Fusion-weight factor, capped at 8 frames of agreement.
+            return jnp.minimum(jnp.minimum(wa, wb), 8.0) * 0.125
+
+        # +z neighbor via lane rotate (wraparound masked by not_last_z).
+        t_z = roll_next(t, 1)
+        w_z = roll_next(w, 1)
+        mz_ = (obs & (w_z > 0.0) & ((t < 0) != (t_z < 0))).astype(jnp.float32)
+        mz_ = mz_ * not_last_z
+        rows = crossing_rows(
+            mz_, wt(w, w_z), jnp.zeros_like(t) + x, iy_f, zz + alpha(t, t_z)
+        )
+
+        # +y neighbor via sublane rotate.
+        t_y = roll_next(t, 0)
+        w_y = roll_next(w, 0)
+        my_ = (obs & (w_y > 0.0) & ((t < 0) != (t_y < 0))).astype(jnp.float32)
+        my_ = my_ * not_last_y
+        rows = rows + crossing_rows(
+            my_, wt(w, w_y), jnp.zeros_like(t) + x, iy_f + alpha(t, t_y), zz
+        )
+
+        # +x neighbor: clamped read of the next slab (last slab masked).
+        ixn = jnp.minimum(ix + 1, 7)
+        t_x = tsdf_ref[ixn]
+        w_x = w_ref[ixn]
+        mx_ = (obs & (w_x > 0.0) & ((t < 0) != (t_x < 0))).astype(jnp.float32)
+        mx_ = mx_ * jnp.where(ix < 7, 1.0, 0.0)
+        rows = rows + crossing_rows(
+            mx_, wt(w, w_x), jnp.zeros_like(t) + x + alpha(t, t_x), iy_f, zz
+        )
+
+        # Orientation rows: centered sdf correlation over the band
+        # (the LS gradient direction — only its SIGN is consumed).
+        band = (obs & (jnp.abs(t) < 0.99)).astype(jnp.float32)
+        grows = jnp.concatenate(
+            [
+                jnp.sum(band, axis=0, keepdims=True),  # G0
+                jnp.sum(band * t, axis=0, keepdims=True),  # Gs
+                jnp.sum(band * x, axis=0, keepdims=True),  # Gx
+                jnp.sum(band * iy_f, axis=0, keepdims=True),  # Gy
+                jnp.sum(band * zz, axis=0, keepdims=True),  # Gz
+                jnp.sum(band * x * t, axis=0, keepdims=True),  # Gxs
+                jnp.sum(band * iy_f * t, axis=0, keepdims=True),  # Gys
+                jnp.sum(band * zz * t, axis=0, keepdims=True),  # Gzs
+            ],
             axis=0,
-        )  # (5, 16): [x*S0, x^2*S0, x*Ss, x*Sy, x*Sz]
-        return acc + r, accx + xrow
+        )
 
-    acc0 = jnp.zeros((9, nsub), jnp.float32)
-    accx0 = jnp.zeros((5, nsub), jnp.float32)
-    acc, accx = jax.lax.fori_loop(0, 8, slab_moments, (acc0, accx0))
+        all_rows = jnp.concatenate([rows, grows], axis=0)  # (19, nz)
+        return acc + jax.lax.dot_general(
+            all_rows, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-    s0 = acc[0:1]
-    ss = acc[1:2]
-    sy = acc[2:3]
-    sz = acc[3:4]
-    sys_ = acc[4:5]
-    szs = acc[5:6]
-    syy = acc[6:7]
-    szz = acc[7:8]
-    syz = acc[8:9]
-    sx = accx[0:1]
-    sxx = accx[1:2]
-    sxs = accx[2:3]
-    sxy = accx[3:4]
-    sxz = accx[4:5]
+    acc = jax.lax.fori_loop(0, 8, slab_pass, jnp.zeros((19, nsub), jnp.float32))
 
-    n0 = jnp.maximum(s0, 1.0)
-    eps = 1e-6
-    # Full centered covariance (the band is a planar slab: cross terms are
-    # LARGE for tilted planes; a diagonal shortcut would bias the normal).
-    cxx = jnp.maximum(sxx - sx * sx / n0, eps)
-    cyy = jnp.maximum(syy - sy * sy / n0, eps)
-    czz = jnp.maximum(szz - sz * sz / n0, eps)
-    cxy = sxy - sx * sy / n0
-    cxz = sxz - sx * sz / n0
-    cyz = syz - sy * sz / n0
-    bx = sxs - sx * ss / n0
-    by = sys_ - sy * ss / n0
-    bz = szs - sz * ss / n0
+    cnt = acc[10:11]  # raw crossing count (gates + reported field)
+    n0 = jnp.maximum(acc[0:1], 1e-6)  # weighted normalizer for moments
+    mx = acc[1:2] / n0
+    my = acc[2:3] / n0
+    mz = acc[3:4] / n0
+    cxx = jnp.maximum(acc[4:5] / n0 - mx * mx, 0.0)
+    cyy = jnp.maximum(acc[5:6] / n0 - my * my, 0.0)
+    czz = jnp.maximum(acc[6:7] / n0 - mz * mz, 0.0)
+    cxy = acc[7:8] / n0 - mx * my
+    cxz = acc[8:9] / n0 - mx * mz
+    cyz = acc[9:10] / n0 - my * mz
 
-    # Cramer solve of C g = b, vectorized over the 16 sub-chunks.
+    # Ridge keeps the Cramer solves finite; it shifts all eigenvalues
+    # equally, so the eigenvectors are untouched.
+    ridge = RIDGE
+    rxx = cxx + ridge
+    ryy = cyy + ridge
+    rzz = czz + ridge
     det = (
-        cxx * (cyy * czz - cyz * cyz)
-        - cxy * (cxy * czz - cyz * cxz)
-        + cxz * (cxy * cyz - cyy * cxz)
+        rxx * (ryy * rzz - cyz * cyz)
+        - cxy * (cxy * rzz - cyz * cxz)
+        + cxz * (cxy * cyz - ryy * cxz)
     )
-    ok_det = jnp.abs(det) > 1e-3
-    safe_det = jnp.where(ok_det, det, 1.0)
-    gx = (
-        bx * (cyy * czz - cyz * cyz)
-        - cxy * (by * czz - cyz * bz)
-        + cxz * (by * cyz - cyy * bz)
-    ) / safe_det
-    gy = (
-        cxx * (by * czz - bz * cyz)
-        - bx * (cxy * czz - cyz * cxz)
-        + cxz * (cxy * bz - by * cxz)
-    ) / safe_det
-    gz = (
-        cxx * (cyy * bz - by * cyz)
-        - cxy * (cxy * bz - by * cxz)
-        + bx * (cxy * cyz - cyy * cxz)
-    ) / safe_det
-    gnorm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    ok_g = gnorm > 1e-4
-    gsafe = jnp.maximum(gnorm, 1e-12)
-    nx_ = gx / gsafe
-    ny_ = gy / gsafe
-    nz_ = gz / gsafe
+    safe_det = jnp.where(jnp.abs(det) > 1e-18, det, 1.0)
 
-    # Mean voxel position (within-sub-chunk coords) and mean sdf.
-    mx = sx / n0
-    my = sy / n0
-    mz = sz / n0
-    msdf = ss / n0
-    # Surface point: p_mean - msdf / |g| along the unit gradient (all in
-    # voxel units; msdf is in trunc units, gradient in trunc/voxel).
-    step = msdf / gsafe
-    px = mx - step * nx_
-    py = my - step * ny_
-    pz = mz - step * nz_
+    def inv_iter(v):
+        """One inverse power iteration: solve C_ridge u = v, normalize."""
+        bx, by, bz = v
+        ux = (
+            bx * (ryy * rzz - cyz * cyz)
+            - cxy * (by * rzz - cyz * bz)
+            + cxz * (by * cyz - ryy * bz)
+        ) / safe_det
+        uy = (
+            rxx * (by * rzz - bz * cyz)
+            - bx * (cxy * rzz - cyz * cxz)
+            + cxz * (cxy * bz - by * cxz)
+        ) / safe_det
+        uz = (
+            rxx * (ryy * bz - by * cyz)
+            - cxy * (cxy * bz - by * cxz)
+            + bx * (cxy * cyz - ryy * cxz)
+        ) / safe_det
+        norm = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+        safe_n = jnp.maximum(norm, 1e-20)
+        return (ux / safe_n, uy / safe_n, uz / safe_n), norm
 
-    # To world coordinates. Sub-chunk s starts at z = s*32.
+    # Seed with the one-hot of the smallest covariance diagonal; three
+    # iterations converge fast because a plane's eigen-gap is large
+    # (in-plane spread >> sub-voxel crossing noise).
+    seed_x = ((cxx <= cyy) & (cxx <= czz)).astype(jnp.float32)
+    seed_z = ((czz < cxx) & (czz < cyy)).astype(jnp.float32)
+    v, _ = inv_iter((seed_x, 1.0 - seed_x - seed_z, seed_z))
+    v, _ = inv_iter(v)
+    (nx_, ny_, nz_), growth = inv_iter(v)
+    # growth ~ 1/(lambda_min + ridge): planes have near-zero lambda_min
+    # (crossings are coplanar), corners/clutter do not.
+    lam_min = jnp.maximum(1.0 / jnp.maximum(growth, 1e-6) - ridge, 0.0)
+    ok_plane = lam_min < LAMBDA_MIN_MAX
+
+    # Degeneracy check: a near-collinear crossing set also has tiny
+    # lambda_min but provides no stable normal. Estimate the largest
+    # eigenvalue with one power iteration from the dominant diagonal;
+    # the middle one is trace - lam_max - lam_min.
+    trace = cxx + cyy + czz
+    px_ = ((cxx >= cyy) & (cxx >= czz)).astype(jnp.float32)
+    pz_ = ((czz > cxx) & (czz > cyy)).astype(jnp.float32)
+    py_ = 1.0 - px_ - pz_
+    ux = cxx * px_ + cxy * py_ + cxz * pz_
+    uy = cxy * px_ + cyy * py_ + cyz * pz_
+    uz = cxz * px_ + cyz * py_ + czz * pz_
+    un = jnp.maximum(jnp.sqrt(ux * ux + uy * uy + uz * uz), 1e-20)
+    ux, uy, uz = ux / un, uy / un, uz / un
+    lam_max = (
+        ux * (cxx * ux + cxy * uy + cxz * uz)
+        + uy * (cxy * ux + cyy * uy + cyz * uz)
+        + uz * (cxz * ux + cyz * uy + czz * uz)
+    )
+    lam_mid = jnp.maximum(trace - lam_max - lam_min, 0.0)
+    ok_spread = lam_mid > LAMBDA_MID_MIN
+
+    # Orientation: flip so the normal points into free space (along the
+    # sdf gradient, estimated from the centered band correlation).
+    g0 = jnp.maximum(acc[11:12], 1.0)
+    gs = acc[12:13] / g0
+    gmx = acc[13:14] / g0
+    gmy = acc[14:15] / g0
+    gmz = acc[15:16] / g0
+    gx_o = acc[16:17] / g0 - gmx * gs
+    gy_o = acc[17:18] / g0 - gmy * gs
+    gz_o = acc[18:19] / g0 - gmz * gs
+    sign = jnp.where(nx_ * gx_o + ny_ * gy_o + nz_ * gz_o < 0, -1.0, 1.0)
+    nx_ = nx_ * sign
+    ny_ = ny_ * sign
+    nz_ = nz_ * sign
+
+    # World-frame plane through the crossing centroid.
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1).astype(jnp.float32)
-    wx = ox + (i * 8 + px + 0.5) * vs
-    wy = oy + (j * 8 + py + 0.5) * vs
-    wz = oz + (sub_iota * SUB_Z + pz + 0.5) * vs
+    wx = ox + (i * 8 + mx + 0.5) * vs
+    wy = oy + (j * 8 + my + 0.5) * vs
+    wz = oz + (sub_iota * SUB_Z + mz + 0.5) * vs
     d = nx_ * wx + ny_ * wy + nz_ * wz
 
-    valid = (s0 >= min_count) & ok_g & ok_det & (jnp.abs(step) < 2.0 * SUB_Z)
-    validf = valid.astype(jnp.float32)
-
-    nbx = params[5]
+    valid = (cnt >= min_count) & ok_plane & ok_spread
+    vf = valid.astype(jnp.float32)
     sub_id = ((i * nbx + j) * nsub).astype(jnp.float32) + sub_iota
 
-    fields = jnp.concatenate(
-        [nx_ * validf, ny_ * validf, nz_ * validf, d * validf, validf, s0, sub_id, jnp.zeros((1, nsub))],
+    # In-plane extent bound for the raycast: a hit counts only within
+    # this radius of the crossing CENTROID. A block plane otherwise
+    # extends across its whole sub-block, and at object silhouettes that
+    # extension juts into empty space with coherently wrong depth — a
+    # few hundred such pixels, concentrated on the scene's weakest-
+    # constrained pose direction, walked the ICP solve ~1mm/iteration
+    # (measured). 1.8x the in-plane RMS radius covers a full flat block
+    # (max reach = 1.73x RMS for a uniform square) while hugging partial
+    # crossing sets tightly; +1.5 voxels of margin seals inter-block
+    # seams.
+    r_inplane = 1.8 * jnp.sqrt(jnp.maximum(trace - lam_min, 0.0))
+    radius_w = (r_inplane + 1.5) * vs
+
+    return jnp.concatenate(
+        [
+            nx_ * vf,
+            ny_ * vf,
+            nz_ * vf,
+            d * vf,
+            vf,
+            cnt,
+            sub_id,
+            radius_w,
+            wx,
+            wy,
+            wz,
+            jnp.zeros((5, nsub)),
+        ],
         axis=0,
-    )  # (8, nsub)
+    )  # (N_FIELDS, nsub)
+
+
+def _kernel(params, tsdf_in, w_in, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nsub = tsdf_in.shape[2] // SUB_Z
+    fields = plane_fields_for_block(
+        tsdf_in, w_in, i, j,
+        vs=params[0], ox=params[1], oy=params[2], oz=params[3],
+        nbx=params[5], min_count=params[4],
+    )
     # Output block is (1, 1, 8, 128): fields on sublanes, sub-chunks on
     # the first nsub lanes (lane padding keeps the block tiling legal).
     out_ref[0, 0, :, :] = jnp.concatenate(
@@ -188,15 +349,13 @@ def _kernel(params, tsdf_in, w_in, out_ref):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def extract_subblock_planes(
-    vol: TsdfVolume, min_count: float = 8.0, interpret: bool = False
+    vol: TsdfVolume, min_count: float = 6.0, interpret: bool = False
 ) -> jnp.ndarray:
-    """(64, 64, 128) per-sub-block surface planes (see module docstring)."""
+    """(nbx, nbx, 8, 128) per-sub-block surface planes (module docstring)."""
     r = vol.resolution
     assert r % 8 == 0 and vol.tsdf.shape[2] % SUB_Z == 0
 
     nbx = r // 8
-    nsub = vol.tsdf.shape[2] // SUB_Z
-
     params = jnp.concatenate(
         [
             vol.voxel_size.reshape(1),

@@ -78,7 +78,8 @@ def build_band_candidates(
         ],
         axis=1,
     )
-    radius = vs * 17.0  # half-diagonal of an (8,8,32) voxel box
+    # Half-diagonal of an (8, 8, SUB_Z) voxel box plus a small margin.
+    radius = vs * (float(32 + SUB_Z * SUB_Z // 4) ** 0.5 + 1.0)
 
     rot = pose[:3, :3]
     t = pose[3, :3]
@@ -144,7 +145,7 @@ def build_band_candidates(
     return jnp.transpose(cand, (0, 2, 1))  # (n_bands, 8, MAX_CAND)
 
 
-def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo):
+def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
     b = pl.program_id(0)
 
     r00, r01, r02 = params[0], params[1], params[2]
@@ -177,60 +178,67 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo):
     f3 = cand[0, 3, :].reshape(1, MAX_CAND)
     f4 = cand[0, 4, :].reshape(1, MAX_CAND)
     f6 = cand[0, 6, :].reshape(1, MAX_CAND)
+    f7 = cand[0, 7, :].reshape(1, MAX_CAND)
+    f8 = cand[0, 8, :].reshape(1, MAX_CAND)
+    f9 = cand[0, 9, :].reshape(1, MAX_CAND)
+    f10 = cand[0, 10, :].reshape(1, MAX_CAND)
 
     def body(c, carry):
-        best_t, bnx, bny, bnz = carry
+        best_t, bnx, bny, bnz, bbid = carry
         oh = (lane == c).astype(jnp.float32)
         nx = jnp.sum(f0 * oh)
         ny = jnp.sum(f1 * oh)
         nz = jnp.sum(f2 * oh)
         d = jnp.sum(f3 * oh)
         ok = jnp.sum(f4 * oh)
-        bid = jnp.sum(f6 * oh).astype(jnp.int32)
+        bid = jnp.sum(f6 * oh)
+        rad2 = jnp.sum(f7 * oh) ** 2
+        ccx = jnp.sum(f8 * oh)
+        ccy = jnp.sum(f9 * oh)
+        ccz = jnp.sum(f10 * oh)
 
         def hit_test(args):
-            best_t, bnx, bny, bnz = args
+            best_t, bnx, bny, bnz, bbid = args
             denom = nx * dwx + ny * dwy + nz * dwz
             safe = jnp.where(jnp.abs(denom) > 1e-9, denom, -1e-9)
             tq = (d - (nx * tx + ny * ty + nz * tz)) / safe
             px = tx + tq * dwx
             py = ty + tq * dwy
             pz = tz + tq * dwz
-            # Sub-block AABB with a margin of 1.5 voxels.
-            i_blk = (bid // (nbx * nsub)).astype(jnp.float32)
-            j_blk = ((bid // nsub) % nbx).astype(jnp.float32)
-            s_blk = (bid % nsub).astype(jnp.float32)
-            cxw = ox + (i_blk * 8 + 4) * vs
-            cyw = oy + (j_blk * 8 + 4) * vs
-            czw = oz + (s_blk * SUB_Z + SUB_Z / 2) * vs
-            hx = 4 * vs + 1.5 * vs
-            hz = (SUB_Z / 2) * vs + 1.5 * vs
-            inside = (
-                (jnp.abs(px - cxw) <= hx)
-                & (jnp.abs(py - cyw) <= hx)
-                & (jnp.abs(pz - czw) <= hz)
-            )
+            # Hits count only within the plane's in-plane support radius
+            # of the crossing centroid (planes_pallas docstring) —
+            # otherwise block planes extend past object silhouettes into
+            # empty space with coherently wrong depth, and those pixels
+            # walk the ICP solve along its weakest direction.
+            dx = px - ccx
+            dy = py - ccy
+            dz = pz - ccz
+            inside = dx * dx + dy * dy + dz * dz <= rad2
             front = denom < 0.0  # normal (toward free space) faces the ray
             hit = front & inside & (tq > z_min) & (tq < best_t)
             best_t = jnp.where(hit, tq, best_t)
             bnx = jnp.where(hit, nx, bnx)
             bny = jnp.where(hit, ny, bny)
             bnz = jnp.where(hit, nz, bnz)
-            return best_t, bnx, bny, bnz
+            bbid = jnp.where(hit, bid, bbid)
+            return best_t, bnx, bny, bnz, bbid
 
-        return jax.lax.cond(ok > 0.5, hit_test, lambda a: a, (best_t, bnx, bny, bnz))
+        return jax.lax.cond(
+            ok > 0.5, hit_test, lambda a: a, (best_t, bnx, bny, bnz, bbid)
+        )
 
     init = (
         jnp.full((8, w), BIG, jnp.float32),
         jnp.zeros((8, w), jnp.float32),
         jnp.zeros((8, w), jnp.float32),
         jnp.zeros((8, w), jnp.float32),
+        jnp.full((8, w), -1.0, jnp.float32),
     )
     # Candidates are packed to the front by the pairing phase; loop only
     # to this band's actual count (most bands carry far fewer than
     # MAX_CAND candidates — this is a ~4-6x raycast speedup).
     n_cand = jnp.sum(f4).astype(jnp.int32)
-    best_t, bnx, bny, bnz = jax.lax.fori_loop(0, n_cand, body, init)
+    best_t, bnx, bny, bnz, bbid = jax.lax.fori_loop(0, n_cand, body, init)
 
     got = best_t < BIG
     tq = jnp.where(got, best_t, 0.0)
@@ -241,6 +249,7 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo):
     nxo[...] = bnx
     nyo[...] = bny
     nzo[...] = bnz
+    bido[...] = jnp.where(got, bbid, -1.0)
 
 
 @partial(jax.jit, static_argnames=("intr", "interpret"))
@@ -281,15 +290,42 @@ def raycast_planes(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, N_FIELDS, MAX_CAND), lambda b: (b, 0, 0)),
         ],
-        out_specs=[pl.BlockSpec((8, intr.width), lambda b: (b, 0))] * 7,
-        out_shape=[shape2d] * 7,
+        out_specs=[pl.BlockSpec((8, intr.width), lambda b: (b, 0))] * 8,
+        out_shape=[shape2d] * 8,
         interpret=interpret,
     )(params, cand)
 
-    depth, vx, vy, vz, nx, ny, nz = outs
+    depth, vx, vy, vz, nx, ny, nz, bid = outs
     vertices = jnp.stack([vx, vy, vz], axis=-1)
     normals = jnp.stack([nx, ny, nz], axis=-1)
     valid = depth > 0
+
+    # Exact block-plane normals + DISAGREEING-SEAM MASKING. Each pixel's
+    # normal is the plane it actually hit — an exact-plane sample,
+    # unbiased for point-to-plane ICP. But at sub-block seams the
+    # piecewise-planar model is a staircase: neighboring blocks' tilt
+    # and offset errors correlate by construction (both ~ the local fit
+    # residual, one-signed), and smoothing normals across seams (vertex-
+    # map normals were tried) manufactures mid-tilt pixels whose
+    # tilt x offset product sums coherently — ICP then walks
+    # ~1mm/iteration along the scene's weakest pose mode. Instead: drop
+    # any pixel whose 4-neighborhood hit a DIFFERENT block whose plane
+    # DISAGREES (normal tilt > ~3 deg or a depth step — corners,
+    # silhouettes, bad fits). Coplanar mid-wall seams agree to sub-mm
+    # and are kept, so coverage stays near the XLA raycast's.
+    same = valid
+    for axis, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        nb_bid = jnp.roll(bid, shift, axis=axis)
+        nb_n = jnp.roll(normals, shift, axis=axis)
+        nb_z = jnp.roll(depth, shift, axis=axis)
+        agree = (jnp.sum(normals * nb_n, axis=-1) > 0.9986) & (
+            jnp.abs(depth - nb_z) < 0.08
+        )
+        same = same & ((nb_bid == bid) | agree)
+    valid = valid & same
+    vertices = jnp.where(valid[..., None], vertices, 0.0)
+    normals = jnp.where(valid[..., None], normals, 0.0)
+    depth = jnp.where(valid, depth, 0.0)
     return PlaneRaycastResult(vertices, normals, valid, depth)
 
 

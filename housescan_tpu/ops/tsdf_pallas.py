@@ -63,7 +63,7 @@ def _kernel(
     w_in,  # VMEM (8, 8, 512)
     tsdf_out,
     w_out,  # VMEM (8, 8, 512)
-    planes_out,  # VMEM (1, 1, 8, 128): per-sub-block surface planes
+    planes_out,  # VMEM (1, 1, N_FIELDS, 128): per-sub-block surface planes
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -309,103 +309,21 @@ def _kernel(
         process_chunk(jnp.int32(zchunk))
 
     # ---- fused surface-plane extraction --------------------------------
-    # The raycast consumes per-(8,8,32)-sub-block LS surface planes
-    # (see ops/planes_pallas.py for the standalone kernel and the math);
-    # computing them here, over the just-updated VMEM tiles, saves a full
-    # second pass over the 1GB volume every frame.
-    nz = tsdf_in.shape[2]
-    nsub_pl = nz // 32
-    zi_pl = jax.lax.broadcasted_iota(jnp.int32, (nz, nsub_pl), 0)
-    si_pl = jax.lax.broadcasted_iota(jnp.int32, (nz, nsub_pl), 1)
-    seg_pl = ((zi_pl // 32) == si_pl).astype(jnp.float32)
-    iy_pl = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 0).astype(jnp.float32)
-    zf_pl = jax.lax.broadcasted_iota(jnp.int32, (8, nz), 1).astype(jnp.float32)
-    zz_pl = zf_pl - (zf_pl // 32) * 32
+    # The raycast consumes per-(8,8,SUB_Z)-sub-block surface planes
+    # fitted to TSDF zero crossings (plane_fields_for_block in
+    # ops/planes_pallas.py holds the math); computing them here, over
+    # the just-updated VMEM tiles, saves a full second pass over the
+    # 1GB volume every frame.
+    from housescan_tpu.ops.planes_pallas import SUB_Z, plane_fields_for_block
 
-    def plane_slab(ix, carry):
-        acc, accx = carry
-        t = tsdf_out[ix]
-        w = w_out[ix]
-        m = ((w > 0.0) & (jnp.abs(t) < 0.99)).astype(jnp.float32)
-        srow = t
-        rows = jnp.concatenate(
-            [
-                jnp.sum(m, axis=0, keepdims=True),
-                jnp.sum(m * srow, axis=0, keepdims=True),
-                jnp.sum(m * iy_pl, axis=0, keepdims=True),
-                jnp.sum(m * zz_pl, axis=0, keepdims=True),
-                jnp.sum(m * iy_pl * srow, axis=0, keepdims=True),
-                jnp.sum(m * zz_pl * srow, axis=0, keepdims=True),
-                jnp.sum(m * iy_pl * iy_pl, axis=0, keepdims=True),
-                jnp.sum(m * zz_pl * zz_pl, axis=0, keepdims=True),
-                jnp.sum(m * iy_pl * zz_pl, axis=0, keepdims=True),
-            ],
-            axis=0,
-        )
-        r = jax.lax.dot_general(
-            rows, seg_pl, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        x = ix.astype(jnp.float32)
-        xrow = jnp.concatenate(
-            [r[0:1] * x, r[0:1] * (x * x), r[1:2] * x, r[2:3] * x, r[3:4] * x],
-            axis=0,
-        )
-        return acc + r, accx + xrow
-
-    acc, accx = jax.lax.fori_loop(
-        0,
-        8,
-        plane_slab,
-        (jnp.zeros((9, nsub_pl), jnp.float32), jnp.zeros((5, nsub_pl), jnp.float32)),
-    )
-    s0 = acc[0:1]; ss = acc[1:2]; sy = acc[2:3]; sz = acc[3:4]
-    sys_ = acc[4:5]; szs = acc[5:6]; syy = acc[6:7]; szz = acc[7:8]; syz = acc[8:9]
-    sx = accx[0:1]; sxx = accx[1:2]; sxs = accx[2:3]; sxy = accx[3:4]; sxz = accx[4:5]
-    n0 = jnp.maximum(s0, 1.0)
-    eps = 1e-6
-    cxx = jnp.maximum(sxx - sx * sx / n0, eps)
-    cyy = jnp.maximum(syy - sy * sy / n0, eps)
-    czz = jnp.maximum(szz - sz * sz / n0, eps)
-    cxy = sxy - sx * sy / n0
-    cxz = sxz - sx * sz / n0
-    cyz = syz - sy * sz / n0
-    bx = sxs - sx * ss / n0
-    by = sys_ - sy * ss / n0
-    bz = szs - sz * ss / n0
-    det = (
-        cxx * (cyy * czz - cyz * cyz)
-        - cxy * (cxy * czz - cyz * cxz)
-        + cxz * (cxy * cyz - cyy * cxz)
-    )
-    ok_det = jnp.abs(det) > 1e-3
-    safe_det = jnp.where(ok_det, det, 1.0)
-    gx = (bx * (cyy * czz - cyz * cyz) - cxy * (by * czz - cyz * bz) + cxz * (by * cyz - cyy * bz)) / safe_det
-    gy = (cxx * (by * czz - bz * cyz) - bx * (cxy * czz - cyz * cxz) + cxz * (cxy * bz - by * cxz)) / safe_det
-    gz = (cxx * (cyy * bz - by * cyz) - cxy * (cxy * bz - by * cxz) + bx * (cxy * cyz - cyy * cxz)) / safe_det
-    gnorm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
-    ok_g = gnorm > 1e-4
-    gsafe = jnp.maximum(gnorm, 1e-12)
-    nx_ = gx / gsafe; ny_ = gy / gsafe; nz_ = gz / gsafe
-    mx = sx / n0; my = sy / n0; mz = sz / n0
-    msdf = ss / n0
-    step = msdf / gsafe
-    px = mx - step * nx_; py = my - step * ny_; pz = mz - step * nz_
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nsub_pl), 1).astype(jnp.float32)
-    wx = ox + (i * 8 + px + 0.5) * vs
-    wy = oy + (j * 8 + py + 0.5) * vs
-    wz = oz + (sub_iota * 32 + pz + 0.5) * vs
-    dpl = nx_ * wx + ny_ * wy + nz_ * wz
-    min_count = 8.0
-    validp = (s0 >= min_count) & ok_g & ok_det & (jnp.abs(step) < 64.0)
-    vf = validp.astype(jnp.float32)
-    nbx_pl = pl.num_programs(0)
-    sub_id = ((i * nbx_pl + j) * nsub_pl).astype(jnp.float32) + sub_iota
-    fieldsp = jnp.concatenate(
-        [nx_ * vf, ny_ * vf, nz_ * vf, dpl * vf, vf, s0, sub_id, jnp.zeros((1, nsub_pl))],
-        axis=0,
+    nsub_pl = tsdf_in.shape[2] // SUB_Z
+    fieldsp = plane_fields_for_block(
+        tsdf_out, w_out, i, j,
+        vs=vs, ox=ox, oy=oy, oz=oz,
+        nbx=pl.num_programs(0), min_count=6.0,
     )
     planes_out[0, 0, :, :] = jnp.concatenate(
-        [fieldsp, jnp.zeros((8, 128 - nsub_pl), jnp.float32)], axis=1
+        [fieldsp, jnp.zeros((fieldsp.shape[0], 128 - nsub_pl), jnp.float32)], axis=1
     )
 
 
@@ -514,12 +432,12 @@ def tsdf_integrate_with_planes(
         out_specs=[
             pl.BlockSpec((8, 8, nz), lambda i, j: (i, j, 0)),
             pl.BlockSpec((8, 8, nz), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 16, 128), lambda i, j: (i, j, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(vol.tsdf.shape, vol.tsdf.dtype),
             jax.ShapeDtypeStruct(vol.weight.shape, vol.weight.dtype),
-            jax.ShapeDtypeStruct((r // 8, r // 8, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((r // 8, r // 8, 16, 128), jnp.float32),
         ],
         input_output_aliases={8: 0, 9: 1},
         interpret=interpret,

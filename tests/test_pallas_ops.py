@@ -69,13 +69,47 @@ class TestPlaneRaycast:
             tsdf_new(128, 3.0, 0.06), jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR
         )
         planes = extract_subblock_planes(vol, interpret=True)
-        P = np.asarray(planes)  # (16,16,8,128), 4 used lanes
-        counts = P[:, :, 5, :4]
+        P = np.asarray(planes)  # (16,16,8,128), 16 used lanes
+        counts = P[:, :, 5, :16]
         t = np.asarray(vol.tsdf)
         w = np.asarray(vol.weight)
-        band = (w > 0) & (np.abs(t) < 0.99)
-        truth = band.reshape(16, 8, 16, 8, 4, 32).sum(axis=(1, 3, 5))
+        obs = w > 0
+        neg = t < 0
+
+        # Mirror the kernel's crossing attribution: a crossing between a
+        # base voxel and its +axis neighbor is counted in the BASE
+        # voxel's sub-block; x/y crossings across 8-voxel block
+        # boundaries are skipped, z uses lane rotate so only the global
+        # last z is skipped.
+        def fam(axis, keep_base):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, -1)
+            sln = [slice(None)] * 3
+            sln[axis] = slice(1, None)
+            c = (
+                obs[tuple(sl)]
+                & obs[tuple(sln)]
+                & (neg[tuple(sl)] != neg[tuple(sln)])
+            )
+            full = np.zeros_like(obs)
+            full[tuple(sl)] = c
+            return full & keep_base
+
+        ix = np.arange(128)
+        keep_x = (ix % 8 != 7)[:, None, None]
+        keep_y = (ix % 8 != 7)[None, :, None]
+        cross = (
+            fam(0, keep_x) | np.zeros_like(obs)
+        ).astype(np.int64) + fam(1, keep_y) + fam(2, True)
+        truth = cross.reshape(16, 8, 16, 8, 16, 8).sum(axis=(1, 3, 5))
         np.testing.assert_array_equal(counts, truth)
+
+        # Where valid, normals must be unit and the plane near the
+        # crossing centroid (d is n.centroid by construction).
+        valid = P[:, :, 4, :16] > 0
+        n = P[:, :, 0:3, :16]
+        norms = np.linalg.norm(n, axis=2)
+        assert np.allclose(norms[valid], 1.0, atol=1e-4)
 
     def test_raycast_depth_quality(self):
         import jax.numpy as jnp
