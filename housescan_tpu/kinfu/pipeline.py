@@ -25,6 +25,12 @@ from housescan_tpu.kinfu.tsdf import TsdfVolume, tsdf_integrate, tsdf_new
 
 class KinFuState(NamedTuple):
     volume: TsdfVolume
+    # Persistent per-sub-block surface planes (nbx, nbx, nzc, 16, 16) —
+    # the plane raycast's acceleration structure, refreshed in-place by
+    # the streaming integrate for exactly the chunks whose TSDF changed
+    # (ops/tsdf_stream.py). Dummy (1,1,1,16,16) zeros when the volume
+    # is not (8,8,128)-tileable (CPU/XLA path).
+    planes: jnp.ndarray
     pose: jnp.ndarray  # (4, 4) current camera-to-world
     # Raycast model maps rendered at model_pose (world frame), full res.
     # model_pose is the constant-velocity PREDICTION of the next frame's
@@ -60,9 +66,16 @@ def kinfu_init(
         if init_pose is None
         else jnp.array(init_pose, jnp.float32, copy=True)
     )
+    if resolution % 128 == 0:
+        from housescan_tpu.ops.tsdf_stream import planes_shape
+
+        planes = jnp.zeros(planes_shape(resolution), jnp.float32)
+    else:
+        planes = jnp.zeros((1, 1, 1, 16, 16), jnp.float32)
     h, w = intr.height, intr.width
     return KinFuState(
         volume=vol,
+        planes=planes,
         pose=pose,
         model_vertices=jnp.zeros((h, w, 3), jnp.float32),
         model_normals=jnp.zeros((h, w, 3), jnp.float32),
@@ -85,18 +98,20 @@ def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
     return inv
 
 
-def _integrate_dispatch(volume, raw_depth, new_pose, intr, max_weight, use_pallas):
-    """Returns (volume, planes-or-None); the Pallas kernel extracts the
-    raycast's surface planes in the same pass over the volume."""
+def _integrate_dispatch(
+    volume, planes, raw_depth, new_pose, intr, max_weight, use_pallas
+):
+    """Returns (volume, planes); the streaming Pallas kernel refreshes
+    the persistent surface planes for exactly the chunks it updates."""
     if use_pallas:
-        from housescan_tpu.ops.tsdf_pallas import tsdf_integrate_with_planes
+        from housescan_tpu.ops.tsdf_stream import tsdf_integrate_stream
 
-        return tsdf_integrate_with_planes(
-            volume, raw_depth, new_pose, intr, max_weight=max_weight
+        return tsdf_integrate_stream(
+            volume, planes, raw_depth, new_pose, intr, max_weight=max_weight
         )
     return (
         tsdf_integrate(volume, raw_depth, new_pose, intr, max_weight=max_weight),
-        None,
+        planes,
     )
 
 
@@ -169,8 +184,8 @@ def kinfu_step(
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
 
-    volume, fused_planes = _integrate_dispatch(
-        state.volume, raw_depth, new_pose, intr, max_weight, use_pallas
+    volume, planes = _integrate_dispatch(
+        state.volume, state.planes, raw_depth, new_pose, intr, max_weight, use_pallas
     )
 
     # Render the model at the ESTIMATED pose — the viewpoint whose depth
@@ -181,7 +196,7 @@ def kinfu_step(
     if use_pallas:
         from housescan_tpu.ops.raycast_pallas import raycast_planes
 
-        model = raycast_planes(fused_planes, new_pose, intr, volume, z_min=z_min)
+        model = raycast_planes(planes, new_pose, intr, volume, z_min=z_min)
     else:
         model = raycast(
             volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
@@ -191,6 +206,7 @@ def kinfu_step(
 
     return KinFuState(
         volume=volume,
+        planes=planes,
         pose=new_pose,
         model_vertices=model.vertices,
         model_normals=model.normals,

@@ -1,0 +1,437 @@
+"""XLA chunk-classification prepass for the streaming TSDF integrate.
+
+The dense Pallas integrate (ops/tsdf_pallas.py) spends ~45% of its time
+classifying (8, 8, 128) chunks *inside* the kernel — per-voxel bounding
+boxes for all 16K chunks of a 512^3 volume, even the ~69% that are out of
+the frustum or behind the fused surface (measured: scripts/chunk_census).
+This module moves classification into a vectorized XLA prepass that never
+touches the volume:
+
+  * Each chunk's 8 corners are projected; their image-space bbox is a
+    conservative superset of the chunk's per-voxel footprint (convexity).
+  * Footprint depth min/max come from a 3x3-DILATED min/max mip pyramid
+    over the depth image (HiZ-style): each chunk reads ONE cell at the
+    level whose cell size >= its bbox span, so the 3x3 dilation footprint
+    is guaranteed to cover the bbox. One small gather per field.
+  * Chunks classify as SKIP (out of frustum / fully behind the surface /
+    projecting only to invalid depth), FREE (confidently in front of all
+    valid depth: the tsdf -> +1 update needs no depth values), or BAND
+    (needs exact depth). All tests err toward BAND — misclassification
+    can only cost speed, never correctness.
+  * Non-SKIP chunks are compacted into a WORK LIST of packed int32
+    descriptors (coords + class + depth-window level/origin), padded by
+    repeating the last entry so the Pallas pipeline elides the padded
+    steps' DMAs (consecutive identical block indices).
+
+The descriptor packs into one int32:
+  bits [0:7)   ci      volume x block   (8 voxels)
+  bits [7:14)  cj      volume y block   (8 voxels)
+  bits [14:18) ck      volume z chunk   (128 voxels)
+  bits [18:20) cls     0=FREE 1=BAND 2=NOOP (copy only; count==0 filler)
+  bits [20:22) level   depth-mip level for the band window
+  bits [22:28) v08     window row origin / 8
+  bits [28:31) u0128   window col origin / 128
+
+Reference: the external KinFu's CUDA integrate visits every voxel every
+frame (ref README.md:14); the selective pass is the TPU redesign that
+makes integrate HBM-light (see SURVEY.md section 7 'hard parts' (a)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from housescan_tpu.kinfu.camera import Intrinsics
+
+BIG = 1.0e9
+CLS_FREE = 0
+CLS_BAND = 1
+CLS_NOOP = 2
+# BAND whose footprint the prepass cannot bound tightly (a quarter
+# straddles the camera plane, or the bbox is clipped by the image
+# boundary): the kernel recomputes the per-voxel bbox in-kernel, exactly
+# like the dense kernel, so mip-level selection matches it everywhere.
+CLS_REFINE = 3
+
+# Band-window geometry (must match ops/tsdf_stream.py).
+WIN_V = 32
+WIN_U = 256
+L3_V = 64
+L3_U = 256
+
+
+class WorkList(NamedTuple):
+    packed: jnp.ndarray  # (n_chunks,) int32 descriptors, padded
+    count: jnp.ndarray  # (1,) int32 number of real entries
+    # Pre-decoded block coordinates (= packed's low bits): the Pallas
+    # index_maps run per grid step on the scalar core, so handing them
+    # plain loads instead of bit arithmetic measurably cuts the
+    # per-step pipeline overhead at 16K steps.
+    bi: jnp.ndarray  # (n_chunks,) int32
+    bj: jnp.ndarray
+    bk: jnp.ndarray
+
+
+def _coarsen_min(m):
+    h, w = m.shape
+    hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+    mp = jnp.full((hp, wp), BIG, m.dtype).at[:h, :w].set(m)
+    return mp.reshape(hp // 2, 2, wp // 2, 2).min(axis=(1, 3))
+
+
+def _coarsen_max(m):
+    h, w = m.shape
+    hp, wp = -(-h // 2) * 2, -(-w // 2) * 2
+    mp = jnp.zeros((hp, wp), m.dtype).at[:h, :w].set(m)
+    return mp.reshape(hp // 2, 2, wp // 2, 2).max(axis=(1, 3))
+
+
+def _dilate3_min(m):
+    return -jax.lax.reduce_window(
+        -m, -BIG, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+
+
+def _dilate3_max(m):
+    return jax.lax.reduce_window(m, -BIG, jax.lax.max, (3, 3), (1, 1), "SAME")
+
+
+def build_hiz(depth: jnp.ndarray):
+    """Dilated min/max/valid depth pyramid, flattened for 1-gather reads.
+
+    Returns (dmin_table, dmax_table, valid_table, offsets, rows, cols)
+    where level l spans table[offsets[l] : offsets[l] + rows[l]*cols[l]]
+    with cell size 8 * 2**l pixels. Every cell holds stats over its own
+    3x3 cell neighborhood, so a bbox no larger than one cell read at its
+    center cell is covered conservatively.
+    """
+    h, w = depth.shape
+    valid = depth > 0.0
+    bh, bw = h // 8, w // 8
+    blocks = depth[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8)
+    bval = valid[: bh * 8, : bw * 8].reshape(bh, 8, bw, 8)
+    bmin = jnp.min(jnp.where(bval, blocks, BIG), axis=(1, 3))
+    bmax = jnp.max(jnp.where(bval, blocks, 0.0), axis=(1, 3))
+    ball = jnp.min(bval.astype(jnp.float32), axis=(1, 3))
+
+    mins, maxs, alls = [bmin], [bmax], [ball]
+    for _ in range(4):
+        mins.append(_coarsen_min(mins[-1]))
+        maxs.append(_coarsen_max(maxs[-1]))
+        alls.append(_coarsen_min(alls[-1]))
+
+    dmin_t, dmax_t, val_t, offs, rows, cols = [], [], [], [], [], []
+    off = 0
+    for mn, mx, al in zip(mins, maxs, alls):
+        dmn = _dilate3_min(mn)
+        dmx = _dilate3_max(mx)
+        dal = _dilate3_min(al)
+        r, c = mn.shape
+        dmin_t.append(dmn.reshape(-1))
+        dmax_t.append(dmx.reshape(-1))
+        val_t.append(dal.reshape(-1))
+        offs.append(off)
+        rows.append(r)
+        cols.append(c)
+        off += r * c
+    # offsets/rows/cols are static (shape-derived): plain Python lists.
+    return (
+        jnp.concatenate(dmin_t),
+        jnp.concatenate(dmax_t),
+        jnp.concatenate(val_t),
+        offs,
+        rows,
+        cols,
+    )
+
+
+def build_worklist(
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    resolution: int,
+    voxel_size: jnp.ndarray,
+    origin: jnp.ndarray,
+    trunc: jnp.ndarray,
+) -> WorkList:
+    """Classify all (8, 8, 128) chunks and compact the non-SKIP ones."""
+    nbx = resolution // 8
+    nzc = resolution // 128
+    n = nbx * nbx * nzc
+
+    ids = jnp.arange(n, dtype=jnp.int32)
+    ci = ids // (nbx * nzc)
+    cj = (ids // nzc) % nbx
+    ck = ids % nzc
+
+    vs = voxel_size
+    x0 = origin[0] + ci.astype(jnp.float32) * (8.0 * vs)
+    y0 = origin[1] + cj.astype(jnp.float32) * (8.0 * vs)
+    z0 = origin[2] + ck.astype(jnp.float32) * (128.0 * vs)
+
+    rot = pose[:3, :3]
+    t = pose[3, :3]
+    w_img = float(intr.width)
+    h_img = float(intr.height)
+
+    # Project the corners of the chunk's 4 z-QUARTERS (32 voxels each)
+    # and frustum-cull per quarter. A chunk is 75cm deep at 512^3 (2.25m
+    # at 128^3): culling whole-chunk corner bboxes lets one off-screen
+    # end inflate the footprint across the image and force the depth
+    # window to a needlessly coarse mip level. The union of the VISIBLE
+    # quarters' (clipped) bboxes stays close to the per-voxel bbox the
+    # dense kernel computes. For a fully-in-front AABB the projected
+    # corner bbox is exact (x/z and y/z are monotone in each coordinate),
+    # so this remains conservative for every voxel that can update.
+    def project_zplane(dzq):
+        outs = []
+        for dx in (0.0, 8.0):
+            for dy in (0.0, 8.0):
+                wx = x0 + dx * vs - t[0]
+                wy = y0 + dy * vs - t[1]
+                wz = z0 + dzq * vs - t[2]
+                # Matches the kernel: xc = d . R[row], row-vector pose.
+                xc = wx * rot[0, 0] + wy * rot[0, 1] + wz * rot[0, 2]
+                yc = wx * rot[1, 0] + wy * rot[1, 1] + wz * rot[1, 2]
+                zc = wx * rot[2, 0] + wy * rot[2, 1] + wz * rot[2, 2]
+                safe = jnp.maximum(zc, 1e-6)
+                uf = intr.fx * xc / safe + intr.cx
+                vf = intr.fy * yc / safe + intr.cy
+                outs.append((uf, vf, zc))
+        return outs
+
+    zplanes = [project_zplane(dz) for dz in (0.0, 32.0, 64.0, 96.0, 128.0)]
+
+    quarters = []
+    for q in range(4):
+        corners = zplanes[q] + zplanes[q + 1]  # 8 (u, v, z) triples
+        qzmin = jnp.full((n,), BIG)
+        qzmax = jnp.full((n,), -BIG)
+        qumin = jnp.full((n,), BIG)
+        qumax = jnp.full((n,), -BIG)
+        qvmin = jnp.full((n,), BIG)
+        qvmax = jnp.full((n,), -BIG)
+        for uf, vf, zc in corners:
+            qzmin = jnp.minimum(qzmin, zc)
+            qzmax = jnp.maximum(qzmax, zc)
+            qumin = jnp.minimum(qumin, uf)
+            qumax = jnp.maximum(qumax, uf)
+            qvmin = jnp.minimum(qvmin, vf)
+            qvmax = jnp.maximum(qvmax, vf)
+        qclean = qzmin > 1e-6
+        q_out = (qzmax <= 1e-6) | (
+            qclean
+            & (
+                (qumax < 0.0)
+                | (qumin > w_img - 1.0)
+                | (qvmax < 0.0)
+                | (qvmin > h_img - 1.0)
+            )
+        )
+        quarters.append(
+            dict(
+                inc=~q_out,
+                clean=qclean,
+                zmin=qzmin,
+                zmax=qzmax,
+                umin=qumin,
+                umax=qumax,
+                vmin=qvmin,
+                vmax=qvmax,
+            )
+        )
+
+    zmin = jnp.full((n,), BIG)
+    zmax = jnp.full((n,), -BIG)
+    umin = jnp.full((n,), BIG)
+    umax = jnp.full((n,), -BIG)
+    vmin = jnp.full((n,), BIG)
+    vmax = jnp.full((n,), -BIG)
+    any_included = jnp.zeros((n,), bool)
+    all_clean = jnp.ones((n,), bool)
+    for qd in quarters:
+        inc = qd["inc"]
+        zmin = jnp.where(inc, jnp.minimum(zmin, qd["zmin"]), zmin)
+        zmax = jnp.where(inc, jnp.maximum(zmax, qd["zmax"]), zmax)
+        umin = jnp.where(inc, jnp.minimum(umin, qd["umin"]), umin)
+        umax = jnp.where(inc, jnp.maximum(umax, qd["umax"]), umax)
+        vmin = jnp.where(inc, jnp.minimum(vmin, qd["vmin"]), vmin)
+        vmax = jnp.where(inc, jnp.maximum(vmax, qd["vmax"]), vmax)
+        any_included = any_included | inc
+        all_clean = all_clean & (~inc | qd["clean"])
+
+    clean = any_included & all_clean  # every visible quarter fully in front
+    out_frustum = ~any_included  # behind-camera quarters are excluded too
+
+    # ---- per-QUARTER HiZ footprint stats + behind/free tests ----
+    # Chunks are 16x deeper (z) than wide: classifying whole chunks
+    # wastes most of the selectivity (a straddling or partially-behind
+    # chunk forces exact-depth treatment of 128 z-voxels when 96 of them
+    # are plain free-space carving). Per-quarter tests recover it:
+    #   * a chunk is SKIP iff every visible quarter is behind,
+    #   * FREE iff every visible quarter is free (the kernel's free path
+    #     updates all in-view voxels, so no quarter may be behind),
+    #   * the band window covers only quarters that can update.
+    dmin_t, dmax_t, val_t, offs, rows_t, cols_t = build_hiz(depth)
+    offs_l = [int(x) for x in offs]
+    rows_l = [int(x) for x in rows_t]
+    cols_l = [int(x) for x in cols_t]
+
+    dvalid = depth > 0.0
+    any_valid = jnp.any(dvalid)
+    all_img_valid = jnp.all(dvalid)
+    dmin_global = jnp.min(jnp.where(dvalid, depth, BIG))
+
+    def fp_stats(umin_, umax_, vmin_, vmax_):
+        """Dilated-HiZ footprint stats for a clipped bbox."""
+        cumin = jnp.clip(umin_, 0.0, w_img - 1.0)
+        cumax = jnp.clip(umax_, 0.0, w_img - 1.0)
+        cvmin = jnp.clip(vmin_, 0.0, h_img - 1.0)
+        cvmax = jnp.clip(vmax_, 0.0, h_img - 1.0)
+        span = jnp.maximum(cumax - cumin, cvmax - cvmin)
+        lvl = jnp.clip(
+            jnp.ceil(jnp.log2(jnp.maximum(span, 1.0) / 8.0)), 0, 4
+        ).astype(jnp.int32)
+        fit = span <= 8.0 * 16.0  # fits a level-4 cell
+        cell = 8.0 * jnp.exp2(lvl.astype(jnp.float32))
+        cu = (cumin + cumax) * 0.5
+        cv = (cvmin + cvmax) * 0.5
+
+        # Per-level table geometry via where-chains (NOT table[lvl]:
+        # indexing a tiny table by a 16K-vector lowers to a near-scalar
+        # gather here).
+        def sel_by_level(table):
+            out = jnp.full_like(lvl, int(table[-1]))
+            for l in range(len(table) - 2, -1, -1):
+                out = jnp.where(lvl == l, int(table[l]), out)
+            return out
+
+        rr = jnp.clip((cv / cell).astype(jnp.int32), 0, sel_by_level(rows_l) - 1)
+        cc = jnp.clip((cu / cell).astype(jnp.int32), 0, sel_by_level(cols_l) - 1)
+        flat = sel_by_level(offs_l) + rr * sel_by_level(cols_l) + cc
+        return dmin_t[flat], dmax_t[flat], val_t[flat] > 0.5, fit
+
+    all_free = any_included
+    all_behind = any_included
+    eff_any = jnp.zeros((n,), bool)
+    umin = jnp.full((n,), BIG)
+    umax = jnp.full((n,), -BIG)
+    vmin = jnp.full((n,), BIG)
+    vmax = jnp.full((n,), -BIG)
+    eff_clean = jnp.ones((n,), bool)
+    zmin = jnp.full((n,), BIG)
+    zmax = jnp.full((n,), -BIG)
+    for qd in quarters:
+        inc = qd["inc"]
+        fq_min, fq_max, fq_all, fq_fit = fp_stats(
+            qd["umin"], qd["umax"], qd["vmin"], qd["vmax"]
+        )
+        tight = qd["clean"] & fq_fit
+        behind_q = tight & (qd["zmin"] - trunc > fq_max)
+        free_tight = (
+            (qd["zmax"] + trunc < fq_min) & (fq_max > 0.0) & fq_all
+        )
+        # No tight footprint (straddler / oversized bbox): fall back to
+        # whole-image stats — every pixel must be valid and deeper.
+        free_global = (
+            (qd["zmax"] + trunc < dmin_global) & all_img_valid & any_valid
+        )
+        free_q = jnp.where(tight, free_tight, free_global)
+        all_free = all_free & (~inc | free_q)
+        all_behind = all_behind & (~inc | behind_q)
+
+        eff = inc & ~behind_q  # quarters whose voxels can update
+        eff_any = eff_any | eff
+        umin = jnp.where(eff, jnp.minimum(umin, qd["umin"]), umin)
+        umax = jnp.where(eff, jnp.maximum(umax, qd["umax"]), umax)
+        vmin = jnp.where(eff, jnp.minimum(vmin, qd["vmin"]), vmin)
+        vmax = jnp.where(eff, jnp.maximum(vmax, qd["vmax"]), vmax)
+        zmin = jnp.where(eff, jnp.minimum(zmin, qd["zmin"]), zmin)
+        zmax = jnp.where(eff, jnp.maximum(zmax, qd["zmax"]), zmax)
+        eff_clean = eff_clean & (~eff | qd["clean"])
+
+    skip = out_frustum | all_behind | ~eff_any
+    free = any_included & all_free
+    clean = eff_any & eff_clean
+    # For CLEAN chunks (every updatable quarter fully in front) the
+    # image-CLIPPED corner bbox covers every voxel that can update, so
+    # the prepass window/level are valid. Only camera-plane straddlers
+    # need the in-kernel per-voxel bbox refine.
+    cls = jnp.where(free, CLS_FREE, jnp.where(clean, CLS_BAND, CLS_REFINE))
+
+    # ---- band-window level + aligned origin (matches ops/tsdf_stream) --
+    # Window must cover the clipped bbox of the UPDATABLE quarters after
+    # aligning the origin DOWN (rows to 8, cols to 128): fits(l) iff
+    # span_v <= 22*2^l and span_u <= 120*2^l; level 3 (the full padded
+    # L3 mip) always fits.
+    cumin = jnp.clip(umin, 0.0, w_img - 1.0)
+    cumax = jnp.clip(umax, 0.0, w_img - 1.0)
+    cvmin = jnp.clip(vmin, 0.0, h_img - 1.0)
+    cvmax = jnp.clip(vmax, 0.0, h_img - 1.0)
+    span_u = cumax - cumin
+    span_v = cvmax - cvmin
+    fits0 = (span_v <= 22.0) & (span_u <= 120.0)
+    fits1 = (span_v <= 44.0) & (span_u <= 240.0)
+    fits2 = (span_v <= 88.0) & (span_u <= 480.0)
+    level = jnp.where(fits0, 0, jnp.where(fits1, 1, jnp.where(fits2, 2, 3)))
+    level = jnp.where(clean, level, 3).astype(jnp.int32)
+    scale = jnp.exp2(level.astype(jnp.float32))
+
+    # Mip l dimensions (padded as in ops/tsdf_stream._build_mips); static.
+    h_l = [
+        max(-(-intr.height // 8) * 8, WIN_V),
+        max(-(-(intr.height // 2) // 8) * 8, WIN_V),
+        max(-(-(intr.height // 4) // 8) * 8, WIN_V),
+    ]
+    w_l = [
+        max(-(-intr.width // 128) * 128, WIN_U),
+        max(-(-(intr.width // 2) // 128) * 128, WIN_U),
+        max(-(-(intr.width // 4) // 128) * 128, WIN_U),
+    ]
+
+    def sel3(table, last):
+        out = jnp.full_like(level, last)
+        for l in range(2, -1, -1):
+            out = jnp.where(level == l, table[l], out)
+        return out
+
+    v0_raw = ((cvmin / scale).astype(jnp.int32) - 1) & ~7
+    u0_raw = ((cumin / scale).astype(jnp.int32) - 1) & ~127
+    v0 = jnp.clip(v0_raw, 0, sel3([h - WIN_V for h in h_l], 0))
+    u0 = jnp.clip(u0_raw, 0, sel3([w - WIN_U for w in w_l], 0))
+    v0 = jnp.where(level == 3, 0, v0)
+    u0 = jnp.where(level == 3, 0, u0)
+
+    packed = (
+        ci
+        | (cj << 7)
+        | (ck << 14)
+        | (cls << 18)
+        | (level << 20)
+        | ((v0 >> 3) << 22)
+        | ((u0 >> 7) << 28)
+    ).astype(jnp.int32)
+
+    # ---- compaction: non-skip first, raster order preserved ----
+    order = jnp.argsort(skip, stable=True)
+    sorted_packed = packed[order]
+    count = jnp.sum(~skip).astype(jnp.int32)
+
+    # count == 0: one NOOP entry on chunk (0,0,0) keeps the pipeline's
+    # revisit-elision invariant (padding repeats a real entry).
+    noop = jnp.int32(CLS_NOOP << 18)
+    last = jnp.where(count > 0, sorted_packed[jnp.maximum(count - 1, 0)], noop)
+    steps = jnp.arange(n, dtype=jnp.int32)
+    wl = jnp.where(steps < count, sorted_packed, last)
+    wl = jnp.where(count > 0, wl, jnp.full((n,), noop, jnp.int32))
+    count = jnp.maximum(count, 1)
+    return WorkList(
+        packed=wl,
+        count=count.reshape(1),
+        bi=wl & 127,
+        bj=(wl >> 7) & 127,
+        bk=(wl >> 14) & 15,
+    )

@@ -67,13 +67,17 @@ LAMBDA_MIN_MAX = 1.5
 LAMBDA_MID_MIN = 0.1  # min sideways spread: rejects collinear slivers
 
 
-def plane_fields_for_block(tsdf_ref, w_ref, i, j, vs, ox, oy, oz, nbx, min_count):
+def plane_fields_for_block(
+    tsdf_ref, w_ref, i, j, vs, ox, oy, oz, nbx, min_count, k=0, nzc=1
+):
     """Crossing-point plane fit over one (8, 8, nz) VMEM block.
 
     ``tsdf_ref`` / ``w_ref`` support ``[ix] -> (8, nz)`` slab reads.
     Returns the (N_FIELDS, nsub) field matrix described in the module
     docstring. Shared by this standalone kernel and the fused
-    integrate-and-extract pass in ops/tsdf_pallas.py.
+    integrate-and-extract passes (ops/tsdf_pallas.py dense columns with
+    k=0, nzc=1; ops/tsdf_stream.py (8, 8, 128) chunks with the chunk's
+    z index k so world coordinates and sub-block ids stay global).
     """
     nz = tsdf_ref.shape[2]
     nsub = nz // SUB_Z
@@ -290,14 +294,15 @@ def plane_fields_for_block(tsdf_ref, w_ref, i, j, vs, ox, oy, oz, nbx, min_count
 
     # World-frame plane through the crossing centroid.
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nsub), 1).astype(jnp.float32)
+    z_base = (k * (nsub * SUB_Z)) * jnp.float32(1.0)  # chunk z offset (voxels)
     wx = ox + (i * 8 + mx + 0.5) * vs
     wy = oy + (j * 8 + my + 0.5) * vs
-    wz = oz + (sub_iota * SUB_Z + mz + 0.5) * vs
+    wz = oz + (z_base + sub_iota * SUB_Z + mz + 0.5) * vs
     d = nx_ * wx + ny_ * wy + nz_ * wz
 
     valid = (cnt >= min_count) & ok_plane & ok_spread
     vf = valid.astype(jnp.float32)
-    sub_id = ((i * nbx + j) * nsub).astype(jnp.float32) + sub_iota
+    sub_id = (((i * nbx + j) * nzc + k) * nsub).astype(jnp.float32) + sub_iota
 
     # In-plane extent bound for the raycast: a hit counts only within
     # this radius of the crossing CENTROID. A block plane otherwise
@@ -331,49 +336,57 @@ def plane_fields_for_block(tsdf_ref, w_ref, i, j, vs, ox, oy, oz, nbx, min_count
     )  # (N_FIELDS, nsub)
 
 
+CHUNK_Z = 128
+NSUB_C = CHUNK_Z // SUB_Z  # sub-blocks per (8, 8, 128) chunk
+
+
 def _kernel(params, tsdf_in, w_in, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    nsub = tsdf_in.shape[2] // SUB_Z
+    k = pl.program_id(2)
     fields = plane_fields_for_block(
         tsdf_in, w_in, i, j,
         vs=params[0], ox=params[1], oy=params[2], oz=params[3],
         nbx=params[5], min_count=params[4],
+        k=k, nzc=params[6].astype(jnp.int32),
     )
-    # Output block is (1, 1, 8, 128): fields on sublanes, sub-chunks on
-    # the first nsub lanes (lane padding keeps the block tiling legal).
-    out_ref[0, 0, :, :] = jnp.concatenate(
-        [fields, jnp.zeros((N_FIELDS, 128 - nsub), jnp.float32)], axis=1
-    )
+    out_ref[0, 0, 0, :, :] = fields
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def extract_subblock_planes(
     vol: TsdfVolume, min_count: float = 6.0, interpret: bool = False
 ) -> jnp.ndarray:
-    """(nbx, nbx, 8, 128) per-sub-block surface planes (module docstring)."""
+    """(nbx, nbx, nzc, N_FIELDS, NSUB_C) per-sub-block surface planes
+    (module docstring), in the persistent chunk-major layout shared with
+    the streaming integrate (ops/tsdf_stream.py)."""
     r = vol.resolution
-    assert r % 8 == 0 and vol.tsdf.shape[2] % SUB_Z == 0
+    assert r % 8 == 0 and vol.tsdf.shape[2] % CHUNK_Z == 0
 
     nbx = r // 8
+    nzc = vol.tsdf.shape[2] // CHUNK_Z
     params = jnp.concatenate(
         [
             vol.voxel_size.reshape(1),
             vol.origin.reshape(-1),
-            jnp.array([min_count, float(nbx)], jnp.float32),
+            jnp.array([min_count, float(nbx), float(nzc)], jnp.float32),
         ]
     )
 
     out = pl.pallas_call(
         _kernel,
-        grid=(nbx, nbx),
+        grid=(nbx, nbx, nzc),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((8, 8, vol.tsdf.shape[2]), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((8, 8, vol.tsdf.shape[2]), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((8, 8, CHUNK_Z), lambda i, j, k: (i, j, k)),
+            pl.BlockSpec((8, 8, CHUNK_Z), lambda i, j, k: (i, j, k)),
         ],
-        out_specs=pl.BlockSpec((1, 1, N_FIELDS, 128), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nbx, nbx, N_FIELDS, 128), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, N_FIELDS, NSUB_C), lambda i, j, k: (i, j, k, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (nbx, nbx, nzc, N_FIELDS, NSUB_C), jnp.float32
+        ),
         interpret=interpret,
     )(params, vol.tsdf, vol.weight)
     return out

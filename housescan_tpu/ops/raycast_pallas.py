@@ -47,7 +47,7 @@ class PlaneRaycastResult(NamedTuple):
 
 
 def build_band_candidates(
-    planes: jnp.ndarray,  # (nbx, nbx, nsub*8)
+    planes: jnp.ndarray,  # (nbx, nbx, nzc, N_FIELDS, NSUB_C)
     pose: jnp.ndarray,
     intr: Intrinsics,
     vol: TsdfVolume,
@@ -61,8 +61,10 @@ def build_band_candidates(
     nb = nbx * nbx * nsub
     n_bands = intr.height // 8
 
-    # planes is (nbx, nbx, 8, 128) field-major with nsub used lanes.
-    p = jnp.transpose(planes[:, :, :, :nsub], (0, 1, 3, 2)).reshape(nb, N_FIELDS)
+    # planes is the persistent chunk-major layout (ops/tsdf_stream.py):
+    # (nbx, nbx, nzc, field, sub-in-chunk); (ck, s) flattens to the same
+    # z-major sub-block order the id decode below expects.
+    p = jnp.transpose(planes, (0, 1, 2, 4, 3)).reshape(nb, N_FIELDS)
     valid = p[:, 4] > 0.5
 
     ids = jnp.arange(nb)

@@ -1,0 +1,544 @@
+"""Streaming Pallas TSDF integrate: work-list over non-SKIP chunks.
+
+Second-generation integrate kernel (successor of ops/tsdf_pallas.py's
+dense kernel). The dense kernel walks all (8, 8, 512) volume columns and
+classifies their chunks in-kernel; measured at 512^3 that splits as
+~5ms HBM streaming + ~23ms classification + ~6ms band updates + ~16ms
+plane extraction, with ~69% of chunks classified SKIP and immediately
+discarded. This kernel eliminates the waste:
+
+  * ops/chunk_select.py classifies every (8, 8, 128) chunk in a cheap
+    vectorized XLA prepass (chunk-corner projection + dilated HiZ depth
+    pyramid) and emits a compacted work list of non-SKIP chunk
+    descriptors (coords, class, depth-window level/origin packed in one
+    int32 each).
+  * The Pallas grid runs over the work list via scalar prefetch; the
+    BlockSpec index_map decodes block coordinates from the descriptor.
+    Padding entries repeat the last real descriptor, so their DMAs are
+    elided (consecutive identical block index) — a padded step costs
+    ~80ns (measured).
+  * tsdf / weight / planes are INPUT-OUTPUT ALIASED: chunks absent from
+    the work list keep their HBM contents bit-exactly (verified:
+    scripts/worklist_microbench.py). The per-sub-block surface planes
+    (consumed by the plane raycast) therefore become a PERSISTENT
+    acceleration structure: recomputed only for chunks whose TSDF
+    changed this frame, carried across frames for all others.
+  * BAND chunks do the gather-free one-hot bilinear depth lookup of the
+    dense kernel, with the contraction reordered (window @ column-
+    weights on the MXU first, then the 32-row v-weight reduce on the
+    VPU) — 8x less VPU work per tile for the same exact result.
+
+Reference: replaces the per-voxel CUDA integrate of the external PCL
+KinFu (ref README.md:14); see SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.tsdf import TsdfVolume
+from housescan_tpu.ops.chunk_select import (
+    CLS_BAND,
+    CLS_FREE,
+    CLS_REFINE,
+    build_worklist,
+)
+from housescan_tpu.ops.planes_pallas import (
+    N_FIELDS,
+    SUB_Z,
+    plane_fields_for_block,
+)
+
+WIN_V = 32
+WIN_U = 256
+L3_V = 64
+L3_U = 256
+CHUNK_Z = 128
+BIG = 1.0e9
+NSUB_C = CHUNK_Z // SUB_Z  # sub-blocks (planes) per chunk
+
+
+def planes_shape(resolution: int):
+    nbx = resolution // 8
+    nzc = resolution // CHUNK_Z
+    return (nbx, nbx, nzc, N_FIELDS, NSUB_C)
+
+
+def _kernel(
+    wl,  # scalar prefetch: (n,) packed descriptors
+    bi_a,  # scalar prefetch: pre-decoded block coords (index_maps only)
+    bj_a,
+    bk_a,
+    cnt,  # scalar prefetch: (1,) real count
+    params,  # SMEM (32,)
+    mip0,
+    mip1,
+    mip2,
+    l3,  # VMEM full depth mips (0 = invalid)
+    tsdf_in,
+    w_in,  # VMEM (8, 8, 128) chunk
+    planes_in,  # VMEM (1, 1, 1, N_FIELDS, NSUB_C) — aliased, not read
+    tsdf_out,
+    w_out,
+    planes_out,
+    ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
+):
+    step = pl.program_id(0)
+    p = wl[step]
+    ci = p & 127
+    cj = (p >> 7) & 127
+    ck = (p >> 14) & 15
+    cls = (p >> 18) & 3
+    level = (p >> 20) & 3
+    v0 = pl.multiple_of(((p >> 22) & 63) * 8, 8)
+    u0 = pl.multiple_of(((p >> 28) & 7) * 128, 128)
+
+    r00, r01, r02 = params[0], params[1], params[2]
+    r10, r11, r12 = params[3], params[4], params[5]
+    r20, r21, r22 = params[6], params[7], params[8]
+    tx, ty, tz = params[9], params[10], params[11]
+    fx, fy, cx, cy = params[12], params[13], params[14], params[15]
+    trunc = params[16]
+    vs = params[17]
+    ox, oy, oz = params[18], params[19], params[20]
+    max_weight = params[21]
+    img_w = params[22]
+    img_h = params[23]
+    nbx = params[24].astype(jnp.int32)
+    nzc = params[25].astype(jnp.int32)
+
+    active = step < cnt[0]
+
+    # Padded steps revisit the last real chunk: its in/out VMEM buffers
+    # hold that chunk's ORIGINAL and UPDATED contents respectively, so a
+    # padded step must write nothing at all.
+    @pl.when(active)
+    def _process():
+        tsdf_out[...] = tsdf_in[...]
+        w_out[...] = w_in[...]
+
+        zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
+            jnp.float32
+        ) + (ck * CHUNK_Z).astype(jnp.float32)
+        iy_sub = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 0).astype(
+            jnp.float32
+        )
+
+        def tile_coords(ix_f):
+            """Camera and pixel coords for the (8 iy, 128 z) slab tile."""
+            xw = ox + (ci * 8 + ix_f + 0.5) * vs
+            yw = oy + (cj * 8 + iy_sub + 0.5) * vs
+            zw = oz + (zlane + 0.5) * vs
+            dx = xw - tx
+            dy = yw - ty
+            dz = zw - tz
+            xc = dx * r00 + dy * r01 + dz * r02
+            yc = dx * r10 + dy * r11 + dz * r12
+            zc = dx * r20 + dy * r21 + dz * r22
+            safe_z = jnp.maximum(zc, 1e-6)
+            uf = fx * xc / safe_z + cx
+            vf = fy * yc / safe_z + cy
+            in_view = (
+                (zc > 1e-6)
+                & (uf >= 0.0)
+                & (uf <= img_w - 1.0)
+                & (vf >= 0.0)
+                & (vf <= img_h - 1.0)
+            )
+            return uf, vf, zc, in_view
+
+        def update_tiles(get_depth_tile):
+            """RMW over the chunk's 8 x-slabs."""
+
+            def body(ix, _):
+                uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
+                d, has_depth = get_depth_tile(uf, vf)
+                sdf = d - zc
+                update = iv & has_depth & (sdf >= -trunc)
+                sample = jnp.clip(sdf / trunc, -1.0, 1.0)
+
+                told = tsdf_out[ix, :, :]
+                wold = w_out[ix, :, :]
+                wadd = update.astype(jnp.float32)
+                wnew = jnp.minimum(wold + wadd, max_weight)
+                denom = jnp.maximum(wold + wadd, 1.0)
+                tnew = (told * wold + sample * wadd) / denom
+                tsdf_out[ix, :, :] = jnp.where(update, tnew, told)
+                w_out[ix, :, :] = wnew
+                return 0
+
+            jax.lax.fori_loop(0, 8, body, 0)
+
+        if ablate == "copy":
+            return
+
+        @pl.when((cls == CLS_FREE) & (0 == (1 if ablate == "no_free" else 0)))
+        def _():
+            # Confidently in front of every valid pixel: sample = +1 for
+            # every in-view voxel (prepass guarantees validity). The
+            # in-view test multiplies through by zc instead of forming
+            # u/v (VPU divides are multi-pass); only the weight blend
+            # keeps one divide.
+            def body(ix, _):
+                ix_f = ix.astype(jnp.float32)
+                xw = ox + (ci * 8 + ix_f + 0.5) * vs
+                yw = oy + (cj * 8 + iy_sub + 0.5) * vs
+                zw = oz + (zlane + 0.5) * vs
+                dx = xw - tx
+                dy = yw - ty
+                dz = zw - tz
+                xc = dx * r00 + dy * r01 + dz * r02
+                yc = dx * r10 + dy * r11 + dz * r12
+                zc = dx * r20 + dy * r21 + dz * r22
+                fxx = fx * xc
+                fyy = fy * yc
+                iv = (
+                    (zc > 1e-6)
+                    & (fxx >= -cx * zc)
+                    & (fxx <= (img_w - 1.0 - cx) * zc)
+                    & (fyy >= -cy * zc)
+                    & (fyy <= (img_h - 1.0 - cy) * zc)
+                )
+                told = tsdf_out[ix, :, :]
+                wold = w_out[ix, :, :]
+                wadd = iv.astype(jnp.float32)
+                wnew = jnp.minimum(wold + wadd, max_weight)
+                denom = jnp.maximum(wold + wadd, 1.0)
+                tnew = (told * wold + wadd) / denom
+                tsdf_out[ix, :, :] = jnp.where(iv, tnew, told)
+                w_out[ix, :, :] = wnew
+                return 0
+
+            jax.lax.fori_loop(0, 8, body, 0)
+
+        def band_update(window, nrows, scale, v0f, u0f):
+            """Exact bilinear depth from a (nrows, WIN_U) window.
+
+            Contraction order: columns first on the MXU
+            (win2 @ wc -> (2*nrows, Z)), then the nrows-row v-weight
+            reduce on the VPU. Algebraically identical to the dense
+            kernel's order, 8x less VPU work."""
+            valid_w = (window > 0.0).astype(jnp.float32)
+            win2 = jnp.concatenate([window, valid_w], axis=0)
+            rows_i = jax.lax.broadcasted_iota(
+                jnp.int32, (nrows, CHUNK_Z), 0
+            ).astype(jnp.float32)
+            cols_i = jax.lax.broadcasted_iota(
+                jnp.int32, (WIN_U, CHUNK_Z), 0
+            ).astype(jnp.float32)
+
+            def get_depth_tile(uf, vf):
+                uw = uf / scale - u0f
+                vw = vf / scale - v0f
+                d_rows = []
+                den_rows = []
+                for iy in range(8):
+                    wc = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
+                    )  # (WIN_U, Z)
+                    t2 = jax.lax.dot_general(
+                        win2,
+                        wc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (2*nrows, Z)
+                    wr = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_i)
+                    )  # (nrows, Z)
+                    d_rows.append(
+                        jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
+                    )
+                    den_rows.append(
+                        jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
+                    )
+                num = jnp.concatenate(d_rows, axis=0)
+                den = jnp.concatenate(den_rows, axis=0)
+                d = num / jnp.maximum(den, 1e-12)
+                return d, den > 1e-6
+
+            update_tiles(get_depth_tile)
+
+        def band_dispatch(lvl, v0s, u0s):
+            """Window slice + band update for a (possibly traced) level
+            and aligned origins."""
+            scale = jnp.where(
+                lvl == 0,
+                1.0,
+                jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
+            )
+
+            @pl.when(lvl == 0)
+            def _():
+                band_update(
+                    mip0[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                    WIN_V,
+                    scale,
+                    v0s.astype(jnp.float32),
+                    u0s.astype(jnp.float32),
+                )
+
+            @pl.when(lvl == 1)
+            def _():
+                band_update(
+                    mip1[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                    WIN_V,
+                    scale,
+                    v0s.astype(jnp.float32),
+                    u0s.astype(jnp.float32),
+                )
+
+            @pl.when(lvl == 2)
+            def _():
+                band_update(
+                    mip2[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                    WIN_V,
+                    scale,
+                    v0s.astype(jnp.float32),
+                    u0s.astype(jnp.float32),
+                )
+
+            @pl.when(lvl == 3)
+            def _():
+                band_update(l3[...], L3_V, scale, 0.0, 0.0)
+
+        @pl.when((cls == CLS_BAND) & (0 == (1 if ablate == "no_band" else 0)))
+        def _():
+            band_dispatch(level, v0, u0)
+
+        @pl.when(cls == CLS_REFINE)
+        def _():
+            # Prepass couldn't bound the footprint (camera-plane straddle
+            # or image-boundary clip): recompute the per-voxel in-view
+            # bbox exactly like the dense kernel, so mip levels match it.
+            def bbox_body(ix, carry):
+                bumin, bumax, bvmin, bvmax, anyv = carry
+                big = jnp.float32(BIG)
+                uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
+                bumin = jnp.minimum(bumin, jnp.min(jnp.where(iv, uf, big)))
+                bumax = jnp.maximum(bumax, jnp.max(jnp.where(iv, uf, -big)))
+                bvmin = jnp.minimum(bvmin, jnp.min(jnp.where(iv, vf, big)))
+                bvmax = jnp.maximum(bvmax, jnp.max(jnp.where(iv, vf, -big)))
+                return bumin, bumax, bvmin, bvmax, anyv | jnp.any(iv)
+
+            big = jnp.float32(BIG)
+            bumin, bumax, bvmin, bvmax, any_view = jax.lax.fori_loop(
+                0, 8, bbox_body, (big, -big, big, -big, False)
+            )
+
+            @pl.when(any_view)
+            def _():
+                span_u = bumax - bumin
+                span_v = bvmax - bvmin
+
+                def fits(l):
+                    s = float(1 << l)
+                    return (span_v <= 22.0 * s) & (span_u <= 120.0 * s)
+
+                lvl = jnp.where(
+                    fits(0), 0, jnp.where(fits(1), 1, jnp.where(fits(2), 2, 3))
+                ).astype(jnp.int32)
+                sc = jnp.where(
+                    lvl == 0,
+                    1.0,
+                    jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
+                )
+                h_sel = jnp.where(
+                    lvl == 0,
+                    mip0.shape[0],
+                    jnp.where(lvl == 1, mip1.shape[0], mip2.shape[0]),
+                )
+                w_sel = jnp.where(
+                    lvl == 0,
+                    mip0.shape[1],
+                    jnp.where(lvl == 1, mip1.shape[1], mip2.shape[1]),
+                )
+                v0r = pl.multiple_of(
+                    jnp.clip(
+                        ((bvmin / sc).astype(jnp.int32) - 1) & ~7,
+                        0,
+                        h_sel - WIN_V,
+                    ),
+                    8,
+                )
+                u0r = pl.multiple_of(
+                    jnp.clip(
+                        ((bumin / sc).astype(jnp.int32) - 1) & ~127,
+                        0,
+                        w_sel - WIN_U,
+                    ),
+                    128,
+                )
+                band_dispatch(lvl, v0r, u0r)
+
+        # Persistent planes: recompute for every visited chunk (its TSDF
+        # may have changed), keep everyone else's HBM values via the
+        # alias. Early out when no zero crossing can exist (no observed
+        # sign change) — most visited chunks are pure free-space carving
+        # and skip the whole moment pass.
+        if ablate in ("no_planes",):
+            return
+
+        # Tile-wise accumulation (elementwise min/max across slabs) with
+        # a single final scalar reduce pair — full (8,128)->scalar
+        # reduces per slab are ~6x slower on the VPU.
+        def sign_body(ix, carry):
+            mn_t, mx_t = carry
+            t = tsdf_out[ix]
+            obs = w_out[ix] > 0.0
+            mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
+            mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
+            return mn_t, mx_t
+
+        ones = jnp.ones((8, CHUNK_Z), jnp.float32)
+        mn_t, mx_t = jax.lax.fori_loop(0, 8, sign_body, (ones, -ones))
+        may_cross = (jnp.min(mn_t) < 0.0) & (jnp.max(mx_t) >= 0.0)
+
+        @pl.when(may_cross)
+        def _():
+            fields = plane_fields_for_block(
+                tsdf_out,
+                w_out,
+                ci,
+                cj,
+                vs=vs,
+                ox=ox,
+                oy=oy,
+                oz=oz,
+                nbx=nbx,
+                min_count=6.0,
+                k=ck,
+                nzc=nzc,
+            )
+            planes_out[0, 0, 0, :, :] = fields
+
+        @pl.when(~may_cross)
+        def _():
+            planes_out[0, 0, 0, :, :] = jnp.zeros(
+                (N_FIELDS, NSUB_C), jnp.float32
+            )
+
+
+def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
+    h, w = m.shape
+    hp = max(-(-h // rows_mult) * rows_mult, WIN_V)
+    wp = max(cols_to, WIN_U)
+    if (hp, wp) == (h, w):
+        return m
+    out = jnp.zeros((hp, wp), jnp.float32)
+    return out.at[:h, :w].set(m)
+
+
+def build_depth_mips(depth: jnp.ndarray):
+    """L0..L2 padded mips + the (64, 256) L3 (0 = invalid depth)."""
+    d0 = depth
+    d1 = d0[::2, ::2]
+    d2 = d1[::2, ::2]
+    d3 = d2[::2, ::2]
+
+    w = depth.shape[1]
+    m0 = _pad_to(d0, 8, -(-w // 128) * 128)
+    m1 = _pad_to(d1, 8, -(-d1.shape[1] // 128) * 128)
+    m2 = _pad_to(d2, 8, -(-d2.shape[1] // 128) * 128)
+    h3, w3 = d3.shape
+    l3 = jnp.zeros((L3_V, L3_U), jnp.float32).at[:h3, :w3].set(d3)
+    return m0, m1, m2, l3
+
+
+@partial(
+    jax.jit, static_argnames=("intr", "interpret", "ablate"), donate_argnums=(0, 1)
+)
+def tsdf_integrate_stream(
+    vol: TsdfVolume,
+    planes: jnp.ndarray,
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    intr: Intrinsics,
+    max_weight: float = 128.0,
+    interpret: bool = False,
+    ablate: str = "none",
+):
+    """Work-list TSDF integrate + persistent plane refresh.
+
+    ``planes`` is the persistent (nbx, nbx, nzc, N_FIELDS, NSUB_C) array
+    from the previous step (zeros initially). Returns (vol, planes).
+    """
+    r = vol.resolution
+    assert r % 8 == 0 and r % CHUNK_Z == 0, "volume must tile (8,8,128)"
+    assert vol.tsdf.dtype == jnp.float32
+    nbx = r // 8
+    nzc = r // CHUNK_Z
+    assert planes.shape == planes_shape(r), planes.shape
+
+    depth = depth.astype(jnp.float32)
+    wl = build_worklist(
+        depth, pose, intr, r, vol.voxel_size, vol.origin, vol.trunc
+    )
+    m0, m1, m2, l3 = build_depth_mips(depth)
+
+    rot = pose[:3, :3]
+    t = pose[3, :3]
+    params = jnp.concatenate(
+        [
+            rot.reshape(-1),
+            t.reshape(-1),
+            jnp.array([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32),
+            vol.trunc.reshape(1),
+            vol.voxel_size.reshape(1),
+            vol.origin.reshape(-1),
+            jnp.array(
+                [max_weight, intr.width, intr.height, nbx, nzc], jnp.float32
+            ),
+            jnp.zeros((6,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+    n = nbx * nbx * nzc
+
+    def im_vol(s, wl, bi, bj, bk, cnt):
+        return (bi[s], bj[s], bk[s])
+
+    def im_planes(s, wl, bi, bj, bk, cnt):
+        return (bi[s], bj[s], bk[s], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((1, 1, 1, N_FIELDS, NSUB_C), im_planes),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((1, 1, 1, N_FIELDS, NSUB_C), im_planes),
+        ],
+    )
+
+    out_tsdf, out_w, out_planes = pl.pallas_call(
+        partial(_kernel, ablate=ablate),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(vol.tsdf.shape, vol.tsdf.dtype),
+            jax.ShapeDtypeStruct(vol.weight.shape, vol.weight.dtype),
+            jax.ShapeDtypeStruct(planes.shape, jnp.float32),
+        ],
+        input_output_aliases={10: 0, 11: 1, 12: 2},
+        interpret=interpret,
+    )(
+        wl.packed, wl.bi, wl.bj, wl.bk, wl.count,
+        params, m0, m1, m2, l3, vol.tsdf, vol.weight, planes,
+    )
+
+    return vol._replace(tsdf=out_tsdf, weight=out_w), out_planes

@@ -1,0 +1,168 @@
+"""Per-stage timing of the KinFu fusion step on the real TPU.
+
+Times each stage of kinfu_step separately (amortized over ITERS calls,
+one forced readout at the end, minus the ~25ms relay readout cost) so
+optimization effort goes where the milliseconds are.
+
+Run sequentially (ONE TPU process):
+  PYTHONPATH=/root/repo:/root/.axon_site nohup python scripts/profile_step.py > /tmp/profile.out 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
+from housescan_tpu.kinfu.synthetic import furnished_room, orbit_poses, render_depth_stream
+
+RES = int(os.environ.get("HOUSESCAN_BENCH_RES", "512"))
+W, H = 640, 480
+ITERS = int(os.environ.get("PROFILE_ITERS", "20"))
+
+
+def readout(x):
+    return float(jnp.sum(x.reshape(-1)[:8]))
+
+
+def timeit(name, fn, *args, iters=ITERS, force=None):
+    out = fn(*args)
+    if force is None:
+        force = lambda o: readout(jax.tree_util.tree_leaves(o)[0])
+    force(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    force(out)
+    dt = (time.time() - t0 - 0.025) / iters * 1000.0
+    print(f"{name:44s} {dt:8.2f} ms", flush=True)
+    return out, dt
+
+
+def main():
+    intr = Intrinsics(width=W, height=H, fx=525.0, fy=525.0, cx=W / 2 - 0.5, cy=H / 2 - 0.5)
+    half, boxes = furnished_room()
+    poses = orbit_poses(4, radius=0.25, yaw_range=0.06, pitch=0.25)
+    frames = render_depth_stream(intr, poses, half, boxes=boxes)
+    depth = jnp.asarray(frames[1])
+
+    state = kinfu_init(intr, resolution=RES, size_m=3.0, trunc=0.03,
+                       init_pose=jnp.asarray(poses[0]))
+    state = kinfu_step(state, jnp.asarray(frames[0]), intr, use_pallas=True)
+    readout(state.pose)
+    print(f"# backend={jax.default_backend()} res={RES}", flush=True)
+
+    from housescan_tpu.kinfu.preprocess import build_pyramid
+    from housescan_tpu.kinfu.icp import downsample_map, icp_track
+    from housescan_tpu.ops.chunk_select import build_worklist
+    from housescan_tpu.ops.tsdf_stream import tsdf_integrate_stream
+    from housescan_tpu.ops.raycast_pallas import raycast_planes
+
+    vol0 = state.volume
+    pose = state.pose
+
+    # --- work-list census ---
+    jwl = jax.jit(
+        lambda d, p: build_worklist(
+            d, p, intr, RES, vol0.voxel_size, vol0.origin, vol0.trunc
+        )
+    )
+    wl, _ = timeit("build_worklist (prepass)", jwl, depth, pose,
+                   force=lambda o: readout(o.count.astype(jnp.float32)))
+    packed = np.asarray(wl.packed)
+    count = int(np.asarray(wl.count)[0])
+    cls = (packed[:count] >> 18) & 3
+    n = packed.size
+    print(
+        f"# chunks: total={n} listed={count} ({count/n:.1%}) "
+        f"free={(cls==0).sum()} band={(cls==1).sum()} refine={(cls==3).sum()}",
+        flush=True,
+    )
+
+    # --- stage: pyramid ---
+    jit_pyr = jax.jit(lambda d: build_pyramid(d, intr, levels=3))
+    pyr, _ = timeit("build_pyramid", jit_pyr, depth,
+                    force=lambda o: readout(o.vertices[0]))
+
+    # --- stage: ICP ---
+    def icp_fn(pv, pn, mv, mn, mok, mpose):
+        m_v, m_n, m_ok = [mv], [mn], [mok]
+        for _ in range(1, 3):
+            m_v.append(downsample_map(m_v[-1]))
+            m_n.append(downsample_map(m_n[-1]))
+            m_ok.append(downsample_map(m_ok[-1]))
+        return icp_track(pv, pn, m_v, m_n, m_ok, mpose, intr,
+                         iterations=(10, 5, 4), dist_threshold=0.10,
+                         angle_threshold=0.5236, init_pose=mpose)
+
+    jicp = jax.jit(icp_fn)
+    icp, _ = timeit("icp_track(10,5,4)+model pyramid", jicp,
+                    pyr.vertices, pyr.normals,
+                    state.model_vertices, state.model_normals,
+                    state.model_valid, state.model_pose,
+                    force=lambda o: readout(o.pose))
+
+    # --- stage: streaming integrate (donated, like the real loop) ---
+    tsdf, w, planes = vol0.tsdf, vol0.weight, state.planes
+
+    def integ(tsdf, w, planes, d, p):
+        v = vol0._replace(tsdf=tsdf, weight=w)
+        nv, np_ = tsdf_integrate_stream(v, planes, d, p, intr)
+        return nv.tsdf, nv.weight, np_
+
+    jint = jax.jit(integ, donate_argnums=(0, 1, 2))
+    tsdf, w, planes = jint(tsdf, w, planes, depth, pose)
+    readout(planes)
+    t0 = time.time()
+    for _ in range(ITERS):
+        tsdf, w, planes = jint(tsdf, w, planes, depth, pose)
+    readout(planes)
+    dt = (time.time() - t0 - 0.025) / ITERS * 1000.0
+    print(f"{'tsdf_integrate_stream (donated)':44s} {dt:8.2f} ms", flush=True)
+
+    # --- ablation sweep over the streaming kernel ---
+    for ab in ("copy", "no_free", "no_band", "no_planes"):
+        def integ_ab(tsdf, w, planes, d, p, ab=ab):
+            v = vol0._replace(tsdf=tsdf, weight=w)
+            nv, np_ = tsdf_integrate_stream(v, planes, d, p, intr, ablate=ab)
+            return nv.tsdf, nv.weight, np_
+
+        ja = jax.jit(integ_ab, donate_argnums=(0, 1, 2))
+        ta, wa, pa = jnp.copy(tsdf), jnp.copy(w), jnp.copy(planes)
+        ta, wa, pa = ja(ta, wa, pa, depth, pose)
+        readout(pa)
+        t0 = time.time()
+        for _ in range(ITERS):
+            ta, wa, pa = ja(ta, wa, pa, depth, pose)
+        readout(pa)
+        dt = (time.time() - t0 - 0.025) / ITERS * 1000.0
+        print(f"{'integrate ablate=' + ab:44s} {dt:8.2f} ms", flush=True)
+
+    # --- stage: raycast from persistent planes ---
+    volp = vol0._replace(tsdf=tsdf, weight=w)
+    jray = jax.jit(lambda pl_, p: raycast_planes(pl_, p, intr, volp, z_min=0.3))
+    timeit("raycast_planes", jray, planes, pose,
+           force=lambda o: readout(o.vertices))
+
+    # --- full step ---
+    st = kinfu_init(intr, resolution=RES, size_m=3.0, trunc=0.03,
+                    init_pose=jnp.asarray(poses[0]))
+    st = kinfu_step(st, jnp.asarray(frames[0]), intr, use_pallas=True)
+    st = kinfu_step(st, depth, intr, use_pallas=True)
+    readout(st.pose)
+    t0 = time.time()
+    for i in range(ITERS):
+        st = kinfu_step(st, jnp.asarray(frames[2 + (i % 2)]), intr, use_pallas=True)
+    readout(st.pose)
+    dt = (time.time() - t0 - 0.025) / ITERS * 1000.0
+    print(f"{'kinfu_step (full)':44s} {dt:8.2f} ms  ({1000.0/dt:.1f} fps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+
+# Ablation sweep appended by main() when PROFILE_ABLATE=1.

@@ -69,8 +69,8 @@ class TestPlaneRaycast:
             tsdf_new(128, 3.0, 0.06), jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR
         )
         planes = extract_subblock_planes(vol, interpret=True)
-        P = np.asarray(planes)  # (16,16,8,128), 16 used lanes
-        counts = P[:, :, 5, :16]
+        P = np.asarray(planes)  # (nbx, nbx, nzc, N_FIELDS, NSUB_C) = (16,16,1,16,16)
+        counts = P[:, :, 0, 5, :]
         t = np.asarray(vol.tsdf)
         w = np.asarray(vol.weight)
         obs = w > 0
@@ -106,8 +106,8 @@ class TestPlaneRaycast:
 
         # Where valid, normals must be unit and the plane near the
         # crossing centroid (d is n.centroid by construction).
-        valid = P[:, :, 4, :16] > 0
-        n = P[:, :, 0:3, :16]
+        valid = P[:, :, 0, 4, :] > 0
+        n = P[:, :, 0, 0:3, :]
         norms = np.linalg.norm(n, axis=2)
         assert np.allclose(norms[valid], 1.0, atol=1e-4)
 

@@ -1,0 +1,215 @@
+"""Tests for the streaming (work-list) TSDF integrate + chunk prepass.
+
+Parity model: the streaming kernel must agree with the XLA reference
+integrate everywhere it updates, and must leave SKIP-classified chunks
+bit-identical through the input-output alias. The chunk classifier is
+validated for conservativeness: no voxel the XLA reference updates may
+live in a chunk classified SKIP.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.synthetic import furnished_room, orbit_poses, render_depth_stream
+from housescan_tpu.kinfu.tsdf import tsdf_integrate, tsdf_new
+from housescan_tpu.ops.chunk_select import CLS_BAND, CLS_FREE, build_worklist
+from housescan_tpu.ops.tsdf_stream import planes_shape, tsdf_integrate_stream
+
+INTR = Intrinsics(width=160, height=120, fx=131.25, fy=131.25, cx=79.5, cy=59.5)
+
+
+def _scene(n=2, yaw=0.05):
+    half, boxes = furnished_room()
+    poses = orbit_poses(n, radius=0.25, yaw_range=yaw, pitch=0.25)
+    frames = render_depth_stream(INTR, poses, half, boxes=boxes)
+    return frames, poses
+
+
+def _integrate_stream(vol, planes, depth, pose):
+    return tsdf_integrate_stream(
+        jax.tree_util.tree_map(jnp.copy, vol),
+        jnp.copy(planes),
+        depth,
+        pose,
+        INTR,
+        interpret=True,
+    )
+
+
+class TestChunkSelect:
+    def test_worklist_is_conservative(self):
+        """Every voxel the XLA integrate touches must be in a listed chunk."""
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        vol = tsdf_new(128, 3.0, 0.06)
+        wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
+        ref = tsdf_integrate(vol, d0, p0, INTR)
+        touched = np.asarray(ref.weight) > 0  # (128,128,128)
+        packed = np.asarray(wl.packed)
+        count = int(wl.count[0])
+        listed = np.zeros((16, 16, 1), bool)
+        for p in packed[:count]:
+            listed[p & 127, (p >> 7) & 127, (p >> 14) & 15] = True
+
+        chunk_touched = touched.reshape(16, 8, 16, 8, 1, 128).any(axis=(1, 3, 5))
+        missed = chunk_touched & ~listed
+        assert not missed.any(), f"{missed.sum()} touched chunks not in work list"
+
+    def test_padding_repeats_last_entry(self):
+        # 256^3: chunks are (8, 8, 128) z-halves, so behind-surface and
+        # out-of-frustum chunks exist and the list is truly compacted
+        # (at 128^3 every chunk spans the full volume depth and stays).
+        frames, poses = _scene()
+        vol = tsdf_new(256, 3.0, 0.06)
+        wl = build_worklist(
+            jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR, 256,
+            vol.voxel_size, vol.origin, vol.trunc,
+        )
+        packed = np.asarray(wl.packed)
+        count = int(wl.count[0])
+        assert 0 < count < packed.size
+        assert (packed[count:] == packed[count - 1]).all()
+
+    def test_free_chunks_really_free(self):
+        """FREE-classified chunks must be strictly in front of all valid
+        depth in their footprint (sample = +1 exactly)."""
+        frames, poses = _scene()
+        d0, p0 = np.asarray(frames[0]), np.asarray(poses[0])
+        vol = tsdf_new(128, 3.0, 0.06)
+        wl = build_worklist(
+            jnp.asarray(d0), jnp.asarray(p0), INTR, 128,
+            vol.voxel_size, vol.origin, vol.trunc,
+        )
+        packed = np.asarray(wl.packed)
+        count = int(wl.count[0])
+        vs = 3.0 / 128
+        origin = np.array([-1.5, -1.5, -1.5])
+        rot, t = p0[:3, :3], p0[3, :3]
+        dvalid = d0 > 0
+        for p in packed[:count]:
+            if ((p >> 18) & 3) != CLS_FREE:
+                continue
+            ci, cj, ck = p & 127, (p >> 7) & 127, (p >> 14) & 15
+            # sample the chunk's voxel centers sparsely
+            xs = origin[0] + (ci * 8 + np.arange(0, 8, 2) + 0.5) * vs
+            ys = origin[1] + (cj * 8 + np.arange(0, 8, 2) + 0.5) * vs
+            zs = origin[2] + (ck * 128 + np.arange(0, 128, 8) + 0.5) * vs
+            g = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1).reshape(-1, 3)
+            cam = (g - t) @ rot.T
+            z = cam[:, 2]
+            u = INTR.fx * cam[:, 0] / np.maximum(z, 1e-6) + INTR.cx
+            v = INTR.fy * cam[:, 1] / np.maximum(z, 1e-6) + INTR.cy
+            iv = (z > 1e-6) & (u >= 0) & (u <= 159) & (v >= 0) & (v <= 119)
+            ui = np.clip(np.round(u).astype(int), 0, 159)
+            vi = np.clip(np.round(v).astype(int), 0, 119)
+            d = d0[vi, ui]
+            ok = ~iv | ~dvalid[vi, ui] | (d - z > 0.0)
+            assert ok.all()
+
+
+class TestStreamIntegrateParity:
+    def test_matches_xla_reference(self):
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+
+        ref = tsdf_integrate(tsdf_new(128, 3.0, 0.06), d0, p0, INTR)
+        vol = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        out, _ = _integrate_stream(vol, planes, d0, p0)
+
+        w_ref = np.asarray(ref.weight)
+        w_out = np.asarray(out.weight)
+        assert (w_ref == w_out).mean() > 0.999
+
+        m = (w_ref > 0) & (w_out > 0)
+        diff = np.abs(np.asarray(ref.tsdf)[m] - np.asarray(out.tsdf)[m])
+        assert np.quantile(diff, 0.95) < 0.017
+
+    def test_matches_dense_pallas_kernel(self):
+        """Stream and dense Pallas kernels share the band math; on BAND
+        chunks they must agree to float tolerance."""
+        from housescan_tpu.ops.tsdf_pallas import tsdf_integrate_pallas
+
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+
+        dense = tsdf_integrate_pallas(
+            tsdf_new(128, 3.0, 0.06), d0, p0, INTR, interpret=True
+        )
+        vol = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        out, _ = _integrate_stream(vol, planes, d0, p0)
+
+        w_d = np.asarray(dense.weight)
+        w_s = np.asarray(out.weight)
+        # Classifiers differ (in-kernel exact bbox vs corner+HiZ): both
+        # are conservative, so updated sets agree except at policy edges.
+        assert (w_d == w_s).mean() > 0.999
+        m = (w_d > 0) & (w_s > 0)
+        diff = np.abs(np.asarray(dense.tsdf)[m] - np.asarray(out.tsdf)[m])
+        assert np.quantile(diff, 0.99) < 1e-5
+
+    def test_unvisited_chunks_bit_identical(self):
+        """SKIP chunks pass through the alias untouched."""
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        vol = tsdf_new(128, 3.0, 0.06)
+        # Pre-fill with a recognizable pattern.
+        rng = np.random.default_rng(1)
+        pat = rng.normal(size=vol.tsdf.shape).astype(np.float32)
+        vol = vol._replace(tsdf=jnp.asarray(pat), weight=jnp.zeros_like(vol.weight))
+
+        wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
+        packed = np.asarray(wl.packed)
+        count = int(wl.count[0])
+        listed = np.zeros((16, 16, 1), bool)
+        for p in packed[:count]:
+            listed[p & 127, (p >> 7) & 127, (p >> 14) & 15] = True
+
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        out, _ = _integrate_stream(vol, planes, d0, p0)
+        t_out = np.asarray(out.tsdf).reshape(16, 8, 16, 8, 1, 128)
+        t_in = pat.reshape(16, 8, 16, 8, 1, 128)
+        skip = ~listed
+        np.testing.assert_array_equal(t_out[skip[..., 0].nonzero()[0], :, skip[..., 0].nonzero()[1]],
+                                      t_in[skip[..., 0].nonzero()[0], :, skip[..., 0].nonzero()[1]])
+
+    def test_two_frame_accumulation_and_planes_persist(self):
+        frames, poses = _scene()
+        vol = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        for i in range(2):
+            vol, planes = _integrate_stream(
+                vol, planes, jnp.asarray(frames[i]), jnp.asarray(poses[i])
+            )
+        assert float(jnp.max(vol.weight)) == 2.0
+        P = np.asarray(planes)
+        assert (P[:, :, :, 4, :] > 0).sum() > 30  # valid planes extracted
+
+    def test_planes_match_standalone_extraction(self):
+        """Persistent planes of visited chunks equal a fresh extraction
+        over the final volume (and unvisited chunks stay zero)."""
+        from housescan_tpu.ops.planes_pallas import extract_subblock_planes
+
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        vol = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
+        out, got = _integrate_stream(vol, planes, d0, p0)
+
+        want = np.asarray(extract_subblock_planes(out, interpret=True))
+        got = np.asarray(got)
+        packed = np.asarray(wl.packed)
+        count = int(wl.count[0])
+        # Only the fields of VALID planes are consumed by the raycast
+        # (field 4 gates candidates); the streaming kernel's crossing
+        # early-out writes zeros where no plane can be valid.
+        for p in packed[:count]:
+            ci, cj, ck = p & 127, (p >> 7) & 127, (p >> 14) & 15
+            g, w_ = got[ci, cj, ck], want[ci, cj, ck]
+            np.testing.assert_array_equal(g[4] > 0.5, w_[4] > 0.5)
+            m = w_[4] > 0.5
+            np.testing.assert_allclose(g[:, m], w_[:, m], atol=1e-5)
