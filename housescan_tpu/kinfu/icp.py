@@ -150,7 +150,8 @@ def _icp_level_iteration(
     angle_threshold: float,
     window: int = 0,
     damping: float = 3e-4,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    frozen_assoc=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, tuple]:
     rot = pose[:3, :3]
     t = pose[3, :3]
     v_w = live_vertices @ rot + t
@@ -172,9 +173,17 @@ def _icp_level_iteration(
     v = jnp.round(intr.fy * v_pc[..., 1] / safe_z + intr.cy).astype(jnp.int32)
     inb = (z > 1e-6) & (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
 
-    m_v, m_n, m_ok = _associate(
-        model_vertices, model_normals, model_valid, u, v, window
-    )
+    if frozen_assoc is None:
+        # The shift-stack is this backend's expensive part (many small
+        # roll/select ops): later iterations of a level reuse the last
+        # association — the pose moves sub-pixel there, and point-to-
+        # plane residuals against a FIXED model plane still re-evaluate
+        # with the updated pose (classic fixed-correspondence GN).
+        m_v, m_n, m_ok = _associate(
+            model_vertices, model_normals, model_valid, u, v, window
+        )
+    else:
+        m_v, m_n, m_ok = frozen_assoc
 
     diff = v_w - m_v
     dist_ok = jnp.sum(diff * diff, axis=-1) < dist_threshold * dist_threshold
@@ -208,16 +217,23 @@ def _icp_level_iteration(
     a = jnp.matmul(gw.T, gw, precision="highest")
     b = jnp.matmul(gw.T, rw, precision="highest")
 
-    x, ok = _solve_increment(a, b, damping=damping)
-    inc = _twist_to_proj(x)
-    new_pose = pose @ inc
-    # Keep the old pose if the solve failed.
-    new_pose = jnp.where(ok, new_pose, pose)
+    if jax.default_backend() == "cpu":
+        x, ok = _solve_increment(a, b, damping=damping)
+        inc = _twist_to_proj(x)
+        # Keep the old pose if the solve failed.
+        new_pose = jnp.where(ok, pose @ inc, pose)
+    else:
+        # One fused Pallas call: as separate XLA ops this scalar tail
+        # costs ~400us PER ITERATION on this backend (tiny-op issue
+        # latency), dwarfing the residual math (ops/solve6_pallas.py).
+        from housescan_tpu.ops.solve6_pallas import solve_twist_compose
+
+        new_pose = solve_twist_compose(pose, a, b, damping=damping)
 
     n_corr = jnp.sum(corr)
     sq = jnp.sum((r * w) ** 2)
     rmse = jnp.sqrt(sq / jnp.maximum(n_corr, 1))
-    return new_pose, rmse, n_corr
+    return new_pose, rmse, n_corr, (m_v, m_n, m_ok)
 
 
 def icp_track(
@@ -252,13 +268,40 @@ def icp_track(
     n_corr = jnp.asarray(0, jnp.int32)
     for level in range(n_levels - 1, -1, -1):
         iters = iterations[level] if len(iterations) == n_levels else iterations[-1]
+        if iters == 0:
+            continue
         win = windows[level] if len(windows) == n_levels else windows[-1]
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
         lvl_intr = intr.level(level)
 
-        def body(_, carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp):
+        # The windowed association runs ONCE per level (it is this
+        # backend's expensive part: many small roll/select ops), seeded
+        # by the pose the coarser level refined; the Gauss-Newton
+        # iterations then run as a lax loop over those FIXED
+        # correspondences. The distance/angle/in-bounds gates and the
+        # point-to-plane residuals still re-evaluate with the updated
+        # pose every iteration, so this is classic fixed-correspondence
+        # GN; the next (finer) level re-associates. Identity association
+        # (window 0) costs nothing and is re-derived every iteration.
+        pose, r0, c0, assoc = _icp_level_iteration(
+            pose,
+            live_vertices[level],
+            live_normals[level],
+            model_vertices[level],
+            model_normals[level],
+            model_valid[level],
+            prev_pose,
+            lvl_intr,
+            dist_threshold,
+            angle_threshold,
+            window=win,
+            damping=damp,
+        )
+
+        def body(_, carry, _level=level, _win=win, _intr=lvl_intr,
+                 _damp=damp, _assoc=assoc):
             p, _, _ = carry
-            return _icp_level_iteration(
+            out = _icp_level_iteration(
                 p,
                 live_vertices[_level],
                 live_normals[_level],
@@ -271,10 +314,12 @@ def icp_track(
                 angle_threshold,
                 window=_win,
                 damping=_damp,
+                frozen_assoc=None if _win == 0 else _assoc,
             )
+            return out[0], out[1], out[2]
 
         pose, lvl_rmse, lvl_corr = jax.lax.fori_loop(
-            0, iters, body, (pose, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
+            0, iters - 1, body, (pose, r0, c0)
         )
         # Report diagnostics from the FINEST level that actually had
         # correspondences (identity association at level 0 contributes

@@ -1,20 +1,11 @@
-"""Pallas plane-raycast: model maps from sub-block surface planes.
+"""Plane-raycast front end: model maps from sub-block surface planes.
 
 Replaces per-ray TSDF sampling (1.8s/frame at 512^3 in XLA — near-scalar
-gathers) with pure arithmetic: surface planes fitted per (8, 8, 32)
-voxel sub-block (ops/planes_pallas.py) are intersected analytically with
-every pixel ray. Three phases:
-
-  1. XLA pairing: project each valid sub-block's bounding sphere into the
-     camera, assign it to the 8-pixel-tall image BANDS it can touch, sort
-     pairs by band, and gather per-band candidate tensors
-     (n_bands, 8 fields, MAX_CAND lanes). Small sorts/gathers, ~2ms.
-  2. Pallas kernel, grid over bands: all 8x640 rays of a band intersect
-     each candidate plane (scalars broadcast from the candidate lane via
-     one-hot reductions — no dynamic indexing), gated by the sub-block's
-     AABB and front-facing test, keeping the nearest hit.
-  3. Model normals come straight from the fitted planes — exactly the
-     local plane point-to-plane ICP wants.
+gathers) with pure arithmetic: surface planes fitted per (8, 8, 8) voxel
+sub-block (ops/planes_pallas.py) are intersected analytically with every
+pixel ray by the tile-grouped, candidate-vectorized Pallas kernel in
+ops/raycast_tiles.py. This module owns the result assembly: exact-plane
+normals plus DISAGREEING-SEAM MASKING (see raycast_planes below).
 
 Accuracy model: exact for planar surfaces (rooms, walls, furniture
 faces); curved geometry is piecewise-planar at sub-block scale (~5cm at
@@ -46,214 +37,6 @@ class PlaneRaycastResult(NamedTuple):
     depth: jnp.ndarray  # (H, W) projective depth (0 invalid)
 
 
-def build_band_candidates(
-    planes: jnp.ndarray,  # (nbx, nbx, nzc, N_FIELDS, NSUB_C)
-    pose: jnp.ndarray,
-    intr: Intrinsics,
-    vol: TsdfVolume,
-    z_min: float = 0.3,
-    max_band_span: int = 16,
-):
-    """Phase 1: (n_bands, 8, MAX_CAND) candidate tensor (XLA)."""
-    nbx = planes.shape[0]
-    nz_vol = vol.tsdf.shape[2]
-    nsub = nz_vol // SUB_Z
-    nb = nbx * nbx * nsub
-    n_bands = intr.height // 8
-
-    # planes is the persistent chunk-major layout (ops/tsdf_stream.py):
-    # (nbx, nbx, nzc, field, sub-in-chunk); (ck, s) flattens to the same
-    # z-major sub-block order the id decode below expects.
-    p = jnp.transpose(planes, (0, 1, 2, 4, 3)).reshape(nb, N_FIELDS)
-    valid = p[:, 4] > 0.5
-
-    ids = jnp.arange(nb)
-    bi = ids // (nbx * nsub)
-    bj = (ids // nsub) % nbx
-    bs = ids % nsub
-    vs = vol.voxel_size
-    centers = jnp.stack(
-        [
-            vol.origin[0] + (bi * 8 + 4) * vs,
-            vol.origin[1] + (bj * 8 + 4) * vs,
-            vol.origin[2] + (bs * SUB_Z + SUB_Z // 2) * vs,
-        ],
-        axis=1,
-    )
-    # Half-diagonal of an (8, 8, SUB_Z) voxel box plus a small margin.
-    radius = vs * (float(32 + SUB_Z * SUB_Z // 4) ** 0.5 + 1.0)
-
-    rot = pose[:3, :3]
-    t = pose[3, :3]
-    cam = (centers - t) @ rot.T
-    z = cam[:, 2]
-    in_front = z + radius > z_min
-
-    # Front-facing: the plane normal (toward free space) must face the
-    # camera from somewhere near the block.
-    n_w = p[:, 0:3]
-    facing = jnp.sum(n_w * (t - centers), axis=1) > -radius
-
-    safe_z = jnp.maximum(z - radius, 0.05)
-    u = intr.fx * cam[:, 0] / jnp.maximum(z, 1e-6) + intr.cx
-    v = intr.fy * cam[:, 1] / jnp.maximum(z, 1e-6) + intr.cy
-    pr_u = intr.fx * radius / safe_z
-    pr_v = intr.fy * radius / safe_z
-    u_overlap = (u + pr_u > 0) & (u - pr_u < intr.width)
-    v0 = jnp.clip(jnp.floor((v - pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
-    v1 = jnp.clip(jnp.ceil((v + pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
-
-    keep = valid & in_front & facing & u_overlap
-
-    # COMPACT first: sorting (nb * span) keys at 512^3 means 1.5M entries
-    # (~25ms of XLA argsort); selecting the NV most relevant sub-blocks
-    # first keeps the pair sort at ~200K keys.
-    nv = min(16384, nb)
-    sel = jnp.argsort(~keep)[:nv]  # kept blocks first, stable
-    keep_s = keep[sel]
-    v0_s = v0[sel]
-    v1_s = v1[sel]
-    # Near blocks can span more bands than the cap; CENTER the emitted
-    # range on the block's projection so the clipping is symmetric
-    # (one-sided clipping made nearby surfaces invisible to edge bands).
-    full_span = v1_s - v0_s + 1
-    over = full_span > max_band_span
-    shift = jnp.where(over, (full_span - max_band_span) // 2, 0)
-    v0_s = v0_s + shift
-    span = jnp.where(keep_s, jnp.minimum(full_span, max_band_span), 0)
-
-    # Emit up to max_band_span (band, block) pairs per selected sub-block.
-    k = jnp.arange(max_band_span)
-    pair_band = jnp.where(
-        keep_s[:, None] & (k[None, :] < span[:, None]),
-        v0_s[:, None] + k[None, :],
-        n_bands,  # sentinel: sorts to the end
-    ).reshape(-1)
-    pair_block = jnp.broadcast_to(sel[:, None], (nv, max_band_span)).reshape(-1)
-
-    order = jnp.argsort(pair_band)
-    sorted_bands = pair_band[order]
-    sorted_blocks = pair_block[order]
-
-    start = jnp.searchsorted(sorted_bands, jnp.arange(n_bands))
-    slot = start[:, None] + jnp.arange(MAX_CAND)[None, :]
-    slot_c = jnp.clip(slot, 0, sorted_bands.shape[0] - 1)
-    slot_band = sorted_bands[slot_c]
-    slot_block = sorted_blocks[slot_c]
-    slot_ok = slot_band == jnp.arange(n_bands)[:, None]
-
-    cand = p[slot_block]  # (n_bands, MAX_CAND, 8)
-    cand = jnp.where(slot_ok[..., None], cand, 0.0)
-    return jnp.transpose(cand, (0, 2, 1))  # (n_bands, 8, MAX_CAND)
-
-
-def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
-    b = pl.program_id(0)
-
-    r00, r01, r02 = params[0], params[1], params[2]
-    r10, r11, r12 = params[3], params[4], params[5]
-    r20, r21, r22 = params[6], params[7], params[8]
-    tx, ty, tz = params[9], params[10], params[11]
-    fx, fy, cx, cy = params[12], params[13], params[14], params[15]
-    z_min = params[16]
-    vs = params[17]
-    ox, oy, oz = params[18], params[19], params[20]
-    nbx = params[21].astype(jnp.int32)
-    nsub = params[22].astype(jnp.int32)
-
-    w = d_out.shape[1]
-    u_pix = jax.lax.broadcasted_iota(jnp.int32, (8, w), 1).astype(jnp.float32)
-    v_pix = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, w), 0).astype(jnp.float32)
-        + (b * 8).astype(jnp.float32)
-    )
-    dcx = (u_pix - cx) / fx
-    dcy = (v_pix - cy) / fy
-    dwx = dcx * r00 + dcy * r10 + r20
-    dwy = dcx * r01 + dcy * r11 + r21
-    dwz = dcx * r02 + dcy * r12 + r22
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_CAND), 1)
-    f0 = cand[0, 0, :].reshape(1, MAX_CAND)
-    f1 = cand[0, 1, :].reshape(1, MAX_CAND)
-    f2 = cand[0, 2, :].reshape(1, MAX_CAND)
-    f3 = cand[0, 3, :].reshape(1, MAX_CAND)
-    f4 = cand[0, 4, :].reshape(1, MAX_CAND)
-    f6 = cand[0, 6, :].reshape(1, MAX_CAND)
-    f7 = cand[0, 7, :].reshape(1, MAX_CAND)
-    f8 = cand[0, 8, :].reshape(1, MAX_CAND)
-    f9 = cand[0, 9, :].reshape(1, MAX_CAND)
-    f10 = cand[0, 10, :].reshape(1, MAX_CAND)
-
-    def body(c, carry):
-        best_t, bnx, bny, bnz, bbid = carry
-        oh = (lane == c).astype(jnp.float32)
-        nx = jnp.sum(f0 * oh)
-        ny = jnp.sum(f1 * oh)
-        nz = jnp.sum(f2 * oh)
-        d = jnp.sum(f3 * oh)
-        ok = jnp.sum(f4 * oh)
-        bid = jnp.sum(f6 * oh)
-        rad2 = jnp.sum(f7 * oh) ** 2
-        ccx = jnp.sum(f8 * oh)
-        ccy = jnp.sum(f9 * oh)
-        ccz = jnp.sum(f10 * oh)
-
-        def hit_test(args):
-            best_t, bnx, bny, bnz, bbid = args
-            denom = nx * dwx + ny * dwy + nz * dwz
-            safe = jnp.where(jnp.abs(denom) > 1e-9, denom, -1e-9)
-            tq = (d - (nx * tx + ny * ty + nz * tz)) / safe
-            px = tx + tq * dwx
-            py = ty + tq * dwy
-            pz = tz + tq * dwz
-            # Hits count only within the plane's in-plane support radius
-            # of the crossing centroid (planes_pallas docstring) —
-            # otherwise block planes extend past object silhouettes into
-            # empty space with coherently wrong depth, and those pixels
-            # walk the ICP solve along its weakest direction.
-            dx = px - ccx
-            dy = py - ccy
-            dz = pz - ccz
-            inside = dx * dx + dy * dy + dz * dz <= rad2
-            front = denom < 0.0  # normal (toward free space) faces the ray
-            hit = front & inside & (tq > z_min) & (tq < best_t)
-            best_t = jnp.where(hit, tq, best_t)
-            bnx = jnp.where(hit, nx, bnx)
-            bny = jnp.where(hit, ny, bny)
-            bnz = jnp.where(hit, nz, bnz)
-            bbid = jnp.where(hit, bid, bbid)
-            return best_t, bnx, bny, bnz, bbid
-
-        return jax.lax.cond(
-            ok > 0.5, hit_test, lambda a: a, (best_t, bnx, bny, bnz, bbid)
-        )
-
-    init = (
-        jnp.full((8, w), BIG, jnp.float32),
-        jnp.zeros((8, w), jnp.float32),
-        jnp.zeros((8, w), jnp.float32),
-        jnp.zeros((8, w), jnp.float32),
-        jnp.full((8, w), -1.0, jnp.float32),
-    )
-    # Candidates are packed to the front by the pairing phase; loop only
-    # to this band's actual count (most bands carry far fewer than
-    # MAX_CAND candidates — this is a ~4-6x raycast speedup).
-    n_cand = jnp.sum(f4).astype(jnp.int32)
-    best_t, bnx, bny, bnz, bbid = jax.lax.fori_loop(0, n_cand, body, init)
-
-    got = best_t < BIG
-    tq = jnp.where(got, best_t, 0.0)
-    d_out[...] = tq
-    vx[...] = jnp.where(got, tx + tq * dwx, 0.0)
-    vy[...] = jnp.where(got, ty + tq * dwy, 0.0)
-    vz[...] = jnp.where(got, tz + tq * dwz, 0.0)
-    nxo[...] = bnx
-    nyo[...] = bny
-    nzo[...] = bnz
-    bido[...] = jnp.where(got, bbid, -1.0)
-
-
 @partial(jax.jit, static_argnames=("intr", "interpret"))
 def raycast_planes(
     planes: jnp.ndarray,
@@ -263,41 +46,12 @@ def raycast_planes(
     z_min: float = 0.3,
     interpret: bool = False,
 ) -> PlaneRaycastResult:
-    """Phases 1+2: per-band candidates then the band-raycast kernel."""
-    nbx = planes.shape[0]
-    nsub = vol.tsdf.shape[2] // SUB_Z
-    n_bands = intr.height // 8
+    """Tile-candidate raycast (ops/raycast_tiles.py) + seam masking."""
+    from housescan_tpu.ops.raycast_tiles import raycast_tiles_maps
 
-    cand = build_band_candidates(planes, pose, intr, vol, z_min=z_min)
-
-    rot = pose[:3, :3]
-    t = pose[3, :3]
-    params = jnp.concatenate(
-        [
-            rot.reshape(-1),
-            t.reshape(-1),
-            jnp.array([intr.fx, intr.fy, intr.cx, intr.cy, z_min], jnp.float32),
-            vol.voxel_size.reshape(1),
-            vol.origin.reshape(-1),
-            jnp.array([nbx, nsub], jnp.float32),
-            jnp.zeros((9,), jnp.float32),
-        ]
-    ).astype(jnp.float32)
-
-    shape2d = jax.ShapeDtypeStruct((intr.height, intr.width), jnp.float32)
-    outs = pl.pallas_call(
-        _kernel,
-        grid=(n_bands,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, N_FIELDS, MAX_CAND), lambda b: (b, 0, 0)),
-        ],
-        out_specs=[pl.BlockSpec((8, intr.width), lambda b: (b, 0))] * 8,
-        out_shape=[shape2d] * 8,
-        interpret=interpret,
-    )(params, cand)
-
-    depth, vx, vy, vz, nx, ny, nz, bid = outs
+    depth, vx, vy, vz, nx, ny, nz, bid = raycast_tiles_maps(
+        planes, pose, intr, vol, z_min=z_min, interpret=interpret
+    )
     vertices = jnp.stack([vx, vy, vz], axis=-1)
     normals = jnp.stack([nx, ny, nz], axis=-1)
     valid = depth > 0

@@ -517,7 +517,13 @@ def tsdf_integrate_stream(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
             pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
-            pl.BlockSpec((1, 1, 1, N_FIELDS, NSUB_C), im_planes),
+            # planes_in exists only to alias planes_out (the kernel never
+            # reads it): a CONSTANT index_map fires its block DMA once
+            # instead of per step.
+            pl.BlockSpec(
+                (1, 1, 1, N_FIELDS, NSUB_C),
+                lambda s, wl, bi, bj, bk, cnt: (0, 0, 0, 0, 0),
+            ),
         ],
         out_specs=[
             pl.BlockSpec((8, 8, CHUNK_Z), im_vol),

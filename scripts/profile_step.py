@@ -99,6 +99,25 @@ def main():
                          iterations=(10, 5, 4), dist_threshold=0.10,
                          angle_threshold=0.5236, init_pose=mpose)
 
+    for its, nm in (((10,0,0),"L0 only (10 it, id-assoc)"),
+                    ((0,5,0),"L1 only (5 it, win2)"),
+                    ((0,0,4),"L2 only (4 it, win4)"),
+                    ((1,1,1),"1 iter per level")):
+        def icp_var(pv, pn, mv, mn, mok, mpose, _its=its):
+            m_v, m_n, m_ok = [mv], [mn], [mok]
+            for _ in range(1, 3):
+                m_v.append(downsample_map(m_v[-1]))
+                m_n.append(downsample_map(m_n[-1]))
+                m_ok.append(downsample_map(m_ok[-1]))
+            return icp_track(pv, pn, m_v, m_n, m_ok, mpose, intr,
+                             iterations=_its, dist_threshold=0.10,
+                             angle_threshold=0.5236, init_pose=mpose)
+        timeit("icp " + nm, jax.jit(icp_var),
+               pyr.vertices, pyr.normals,
+               state.model_vertices, state.model_normals,
+               state.model_valid, state.model_pose,
+               force=lambda o: readout(o.pose))
+
     jicp = jax.jit(icp_fn)
     icp, _ = timeit("icp_track(10,5,4)+model pyramid", jicp,
                     pyr.vertices, pyr.normals,
@@ -144,8 +163,12 @@ def main():
 
     # --- stage: raycast from persistent planes ---
     volp = vol0._replace(tsdf=tsdf, weight=w)
+    from housescan_tpu.ops.raycast_tiles import build_tile_candidates, raycast_tiles_maps
+    jc = jax.jit(lambda pl_, p: build_tile_candidates(pl_, p, intr, volp, z_min=0.3))
+    cand, _ = timeit("raycast phase1 (candidates)", jc, planes, pose,
+                     force=lambda o: readout(o))
     jray = jax.jit(lambda pl_, p: raycast_planes(pl_, p, intr, volp, z_min=0.3))
-    timeit("raycast_planes", jray, planes, pose,
+    timeit("raycast_planes (full)", jray, planes, pose,
            force=lambda o: readout(o.vertices))
 
     # --- full step ---

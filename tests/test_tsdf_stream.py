@@ -213,3 +213,36 @@ class TestStreamIntegrateParity:
             np.testing.assert_array_equal(g[4] > 0.5, w_[4] > 0.5)
             m = w_[4] > 0.5
             np.testing.assert_allclose(g[:, m], w_[:, m], atol=1e-5)
+
+
+class TestSolveTwistPallas:
+    def test_matches_xla_reference(self):
+        """The fused solve+twist+compose kernel must match the jnp path
+        (used on CPU) to float tolerance."""
+        from housescan_tpu.kinfu.icp import _solve_increment, _twist_to_proj
+        from housescan_tpu.ops.solve6_pallas import solve_twist_compose
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            g = rng.normal(size=(50, 6))
+            a = jnp.asarray((g.T @ g).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.1)
+            pose = np.eye(4, dtype=np.float32)
+            pose[3, :3] = rng.normal(size=3)
+            pose = jnp.asarray(pose)
+
+            x, ok = _solve_increment(a, b, damping=3e-4)
+            want = np.asarray(jnp.where(ok, pose @ _twist_to_proj(x), pose))
+            got = np.asarray(
+                solve_twist_compose(pose, a, b, damping=3e-4, interpret=True)
+            )
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_degenerate_system_keeps_pose(self):
+        from housescan_tpu.ops.solve6_pallas import solve_twist_compose
+
+        a = jnp.zeros((6, 6))
+        b = jnp.ones((6,))
+        pose = jnp.eye(4)
+        got = np.asarray(solve_twist_compose(pose, a, b, interpret=True))
+        assert np.all(np.isfinite(got))
