@@ -36,57 +36,60 @@ def _associate(
     model_vertices: jnp.ndarray,
     model_normals: jnp.ndarray,
     model_valid: jnp.ndarray,
-    u: jnp.ndarray,
-    v: jnp.ndarray,
+    u: jnp.ndarray,  # float projected column
+    v: jnp.ndarray,  # float projected row
     window: int,
 ):
-    """Projective association WITHOUT a gather.
+    """LINEARIZED projective association WITHOUT a gather.
 
-    TPU XLA gathers run near-scalar speed (~9ns/element measured on v5e),
-    so the model lookup at projected pixel (u, v) is restructured:
+    TPU XLA gathers run near-scalar speed (~9ns/element measured on
+    v5e), and a (2w+1)^2 shift-stack costs hundreds of small ops per
+    iteration (each ~0.5-1us of issue latency on this backend). Instead,
+    the model-map lookup at the projected pixel is LINEARIZED around the
+    pixel's own position: m(u, v) ~= m(p) + dm/du * (u - px) +
+    dm/dv * (v - py), with central-difference gradients masked at
+    invalid/seam neighbors. On planar surfaces (walls, floors, furniture
+    faces — exactly what the plane raycast renders) the model vertex map
+    is an exact linear function of the pixel, so within the gate the
+    association is EXACT, sub-pixel, and ~20 vector ops total. Normals
+    come from the pixel itself (piecewise-constant per fitted plane;
+    disagreeing seams are already masked by the raycast).
 
-    * ``window > 0`` (coarse levels): the displacement |projected - own
-      pixel| is at most a few pixels once the coarse level has absorbed
-      the inter-frame motion, so the lookup is a SHIFT-STACK — for each
-      offset in the (2w+1)^2 window, roll the model maps and select where
-      (u, v) matches. Pure VPU rolls/selects, fully fusible.
-    * ``window == 0`` (fine level): IDENTITY association — compare pixel
-      p's live vertex against pixel p's model plane. Point-to-plane only
-      measures the component along the model normal, so on locally planar
-      surfaces any model point on the same plane is an equally good
-      correspondent; the coarse levels guarantee we are within a pixel or
-      two of the true correspondence. This costs literally nothing.
-
-    Off-window projections are dropped (conservative; the coarse window
-    covers the motions the tracker is specified for).
+    ``window == 0`` means a +-1.5 px gate (identity-class association on
+    the finest level); otherwise |u - px| and |v - py| must be within
+    ``window`` pixels — the same motion budget the old shift-stack
+    covered, now without its op count.
     """
     h, w = u.shape
-    if window == 0:
-        # Identity association, gated to <= 2px of true projective flow.
-        # Valid because the model is rendered at the PREDICTED current
-        # pose (constant velocity), so the flow is just prediction error;
-        # point-to-plane residuals are exact for any correspondent on the
-        # same local plane.
-        py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        near = (jnp.abs(u - px) <= 1) & (jnp.abs(v - py) <= 1)
-        return model_vertices, model_normals, model_valid & near
+    gate = 1.5 if window == 0 else float(window)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(u.dtype)
+    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(u.dtype)
+    du = u - px
+    dv = v - py
+    near = (jnp.abs(du) <= gate) & (jnp.abs(dv) <= gate)
 
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    m_v = jnp.zeros_like(model_vertices)
-    m_n = jnp.zeros_like(model_normals)
-    m_ok = jnp.zeros_like(model_valid)
-    for dy in range(-window, window + 1):
-        for dx in range(-window, window + 1):
-            sel = (v == py + dy) & (u == px + dx)
-            mv_s = jnp.roll(model_vertices, (-dy, -dx), (0, 1))
-            mn_s = jnp.roll(model_normals, (-dy, -dx), (0, 1))
-            mo_s = jnp.roll(model_valid, (-dy, -dx), (0, 1))
-            m_v = jnp.where(sel[..., None], mv_s, m_v)
-            m_n = jnp.where(sel[..., None], mn_s, m_n)
-            m_ok = m_ok | (sel & mo_s)
-    return m_v, m_n, m_ok
+    def shift(m, dy, dx):
+        return jnp.roll(m, (-dy, -dx), (0, 1))
+
+    okf = model_valid
+    ok_u = shift(okf, 0, 1) & shift(okf, 0, -1)
+    ok_v = shift(okf, 1, 0) & shift(okf, -1, 0)
+    gu = jnp.where(
+        ok_u[..., None],
+        0.5 * (shift(model_vertices, 0, 1) - shift(model_vertices, 0, -1)),
+        0.0,
+    )
+    gv = jnp.where(
+        ok_v[..., None],
+        0.5 * (shift(model_vertices, 1, 0) - shift(model_vertices, -1, 0)),
+        0.0,
+    )
+    m_v = model_vertices + gu * du[..., None] + gv * dv[..., None]
+    # Pixels whose extrapolation basis is missing keep the identity
+    # association (still exact for point-to-plane on their own plane when
+    # the flow is small); fully invalid pixels are dropped by m_ok.
+    m_ok = model_valid & near
+    return m_v, model_normals, m_ok
 
 
 def _solve_increment(
@@ -150,8 +153,7 @@ def _icp_level_iteration(
     angle_threshold: float,
     window: int = 0,
     damping: float = 3e-4,
-    frozen_assoc=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, tuple]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     rot = pose[:3, :3]
     t = pose[3, :3]
     v_w = live_vertices @ rot + t
@@ -169,21 +171,19 @@ def _icp_level_iteration(
     v_pc = (v_w - p_t) @ p_rot.T
     z = v_pc[..., 2]
     safe_z = jnp.where(z > 1e-6, z, 1.0)
-    u = jnp.round(intr.fx * v_pc[..., 0] / safe_z + intr.cx).astype(jnp.int32)
-    v = jnp.round(intr.fy * v_pc[..., 1] / safe_z + intr.cy).astype(jnp.int32)
-    inb = (z > 1e-6) & (u >= 0) & (u < intr.width) & (v >= 0) & (v < intr.height)
+    u = intr.fx * v_pc[..., 0] / safe_z + intr.cx  # float (sub-pixel)
+    v = intr.fy * v_pc[..., 1] / safe_z + intr.cy
+    inb = (
+        (z > 1e-6)
+        & (u >= 0)
+        & (u <= intr.width - 1)
+        & (v >= 0)
+        & (v <= intr.height - 1)
+    )
 
-    if frozen_assoc is None:
-        # The shift-stack is this backend's expensive part (many small
-        # roll/select ops): later iterations of a level reuse the last
-        # association — the pose moves sub-pixel there, and point-to-
-        # plane residuals against a FIXED model plane still re-evaluate
-        # with the updated pose (classic fixed-correspondence GN).
-        m_v, m_n, m_ok = _associate(
-            model_vertices, model_normals, model_valid, u, v, window
-        )
-    else:
-        m_v, m_n, m_ok = frozen_assoc
+    m_v, m_n, m_ok = _associate(
+        model_vertices, model_normals, model_valid, u, v, window
+    )
 
     diff = v_w - m_v
     dist_ok = jnp.sum(diff * diff, axis=-1) < dist_threshold * dist_threshold
@@ -233,7 +233,7 @@ def _icp_level_iteration(
     n_corr = jnp.sum(corr)
     sq = jnp.sum((r * w) ** 2)
     rmse = jnp.sqrt(sq / jnp.maximum(n_corr, 1))
-    return new_pose, rmse, n_corr, (m_v, m_n, m_ok)
+    return new_pose, rmse, n_corr
 
 
 def icp_track(
@@ -274,34 +274,9 @@ def icp_track(
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
         lvl_intr = intr.level(level)
 
-        # The windowed association runs ONCE per level (it is this
-        # backend's expensive part: many small roll/select ops), seeded
-        # by the pose the coarser level refined; the Gauss-Newton
-        # iterations then run as a lax loop over those FIXED
-        # correspondences. The distance/angle/in-bounds gates and the
-        # point-to-plane residuals still re-evaluate with the updated
-        # pose every iteration, so this is classic fixed-correspondence
-        # GN; the next (finer) level re-associates. Identity association
-        # (window 0) costs nothing and is re-derived every iteration.
-        pose, r0, c0, assoc = _icp_level_iteration(
-            pose,
-            live_vertices[level],
-            live_normals[level],
-            model_vertices[level],
-            model_normals[level],
-            model_valid[level],
-            prev_pose,
-            lvl_intr,
-            dist_threshold,
-            angle_threshold,
-            window=win,
-            damping=damp,
-        )
-
-        def body(_, carry, _level=level, _win=win, _intr=lvl_intr,
-                 _damp=damp, _assoc=assoc):
+        def body(_, carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp):
             p, _, _ = carry
-            out = _icp_level_iteration(
+            return _icp_level_iteration(
                 p,
                 live_vertices[_level],
                 live_normals[_level],
@@ -314,12 +289,11 @@ def icp_track(
                 angle_threshold,
                 window=_win,
                 damping=_damp,
-                frozen_assoc=None if _win == 0 else _assoc,
             )
-            return out[0], out[1], out[2]
 
         pose, lvl_rmse, lvl_corr = jax.lax.fori_loop(
-            0, iters - 1, body, (pose, r0, c0)
+            0, iters, body,
+            (pose, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32)),
         )
         # Report diagnostics from the FINEST level that actually had
         # correspondences (identity association at level 0 contributes
