@@ -28,23 +28,55 @@ from housescan_tpu.kinfu.camera import Intrinsics
 class TsdfVolume(NamedTuple):
     """TSDF + weight grids with geometry metadata (a pytree; the float
     metadata rides along as 0-d arrays so the whole volume shards/jits
-    cleanly)."""
+    cleanly).
 
-    tsdf: jnp.ndarray  # (R, R, R) in [-1, 1]
-    weight: jnp.ndarray  # (R, R, R) >= 0
+    Storage is PACKED: ``data[0]`` is the tsdf grid, ``data[1]`` the
+    weight grid, one (2, X, Y, Z) array. The streaming integrate moves
+    both grids through one (2, 8, 8, 128) block per chunk — on this
+    backend every extra Pallas buffer costs ~90ns of per-step DMA
+    bookkeeping, which at 16K grid steps was ~1.8ms/frame of pure
+    overhead for the split layout. ``tsdf`` / ``weight`` remain as
+    (lazy slice) properties; under jit they fuse into consumers.
+    """
+
+    data: jnp.ndarray  # (2, X, Y, Z): [tsdf in [-1, 1], weight >= 0]
     origin: jnp.ndarray  # (3,) world position of the volume min corner
     voxel_size: jnp.ndarray  # () meters per voxel
     trunc: jnp.ndarray  # () truncation distance in meters
 
     @property
+    def tsdf(self) -> jnp.ndarray:
+        return self.data[0]
+
+    @property
+    def weight(self) -> jnp.ndarray:
+        return self.data[1]
+
+    @property
     def resolution(self) -> int:
-        return self.tsdf.shape[0]
+        return self.data.shape[1]
 
     @property
     def dims(self):
         """Per-axis voxel counts; shards of a mesh-distributed volume are
         non-cubic (e.g. an X-slab), so samplers use dims, not resolution."""
-        return self.tsdf.shape
+        return self.data.shape[1:]
+
+    def replace_grids(self, tsdf=None, weight=None) -> "TsdfVolume":
+        """New volume with either grid swapped (stacks into ``data``)."""
+        t = self.data[0] if tsdf is None else tsdf
+        w = self.data[1] if weight is None else weight
+        return self._replace(data=jnp.stack([t, w]))
+
+
+def make_volume(tsdf, weight, origin, voxel_size, trunc) -> TsdfVolume:
+    """Construct a packed TsdfVolume from separate grids."""
+    return TsdfVolume(
+        data=jnp.stack([tsdf, weight]),
+        origin=origin,
+        voxel_size=voxel_size,
+        trunc=trunc,
+    )
 
 
 def tsdf_new(
@@ -59,9 +91,14 @@ def tsdf_new(
     pass an explicit origin."""
     if origin is None:
         origin = jnp.full((3,), -size_m / 2.0, jnp.float32)
+    data = jnp.concatenate(
+        [
+            jnp.ones((1,) + (resolution,) * 3, dtype),  # +1 = far free space
+            jnp.zeros((1,) + (resolution,) * 3, dtype),
+        ]
+    )
     return TsdfVolume(
-        tsdf=jnp.ones((resolution,) * 3, dtype),  # +1 = far free space
-        weight=jnp.zeros((resolution,) * 3, dtype),
+        data=data,
         origin=jnp.asarray(origin, jnp.float32),
         voxel_size=jnp.asarray(size_m / resolution, jnp.float32),
         trunc=jnp.asarray(trunc, jnp.float32),
@@ -213,7 +250,7 @@ def integrate_core(
     tsdf_upd = (vol.tsdf * w_old + tsdf_sample * w_add) / denom
     new_tsdf = jnp.where(update, tsdf_upd, vol.tsdf)
 
-    return vol._replace(tsdf=new_tsdf, weight=w_new)
+    return vol.replace_grids(tsdf=new_tsdf, weight=w_new)
 
 
 def sample_trilinear(

@@ -443,4 +443,4 @@ def tsdf_integrate_with_planes(
         interpret=interpret,
     )(params, m0, m1, m2, l3, l3min, l3max, l3valid, vol.tsdf, vol.weight)
 
-    return vol._replace(tsdf=out_tsdf, weight=out_w), out_planes
+    return vol.replace_grids(tsdf=out_tsdf, weight=out_w), out_planes

@@ -81,11 +81,9 @@ def _kernel(
     mip1,
     mip2,
     l3,  # VMEM full depth mips (0 = invalid)
-    tsdf_in,
-    w_in,  # VMEM (8, 8, 128) chunk
+    vol_in,  # VMEM (2, 8, 8, 128) chunk: [tsdf, weight]
     planes_in,  # VMEM (1, 1, 1, N_FIELDS, NSUB_C) — aliased, not read
-    tsdf_out,
-    w_out,
+    vol_out,
     planes_out,
     ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
 ):
@@ -120,8 +118,7 @@ def _kernel(
     # padded step must write nothing at all.
     @pl.when(active)
     def _process():
-        tsdf_out[...] = tsdf_in[...]
-        w_out[...] = w_in[...]
+        vol_out[...] = vol_in[...]
 
         zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
             jnp.float32
@@ -163,14 +160,14 @@ def _kernel(
                 update = iv & has_depth & (sdf >= -trunc)
                 sample = jnp.clip(sdf / trunc, -1.0, 1.0)
 
-                told = tsdf_out[ix, :, :]
-                wold = w_out[ix, :, :]
+                told = vol_out[0, ix, :, :]
+                wold = vol_out[1, ix, :, :]
                 wadd = update.astype(jnp.float32)
                 wnew = jnp.minimum(wold + wadd, max_weight)
                 denom = jnp.maximum(wold + wadd, 1.0)
                 tnew = (told * wold + sample * wadd) / denom
-                tsdf_out[ix, :, :] = jnp.where(update, tnew, told)
-                w_out[ix, :, :] = wnew
+                vol_out[0, ix, :, :] = jnp.where(update, tnew, told)
+                vol_out[1, ix, :, :] = wnew
                 return 0
 
             jax.lax.fori_loop(0, 8, body, 0)
@@ -205,14 +202,14 @@ def _kernel(
                     & (fyy >= -cy * zc)
                     & (fyy <= (img_h - 1.0 - cy) * zc)
                 )
-                told = tsdf_out[ix, :, :]
-                wold = w_out[ix, :, :]
+                told = vol_out[0, ix, :, :]
+                wold = vol_out[1, ix, :, :]
                 wadd = iv.astype(jnp.float32)
                 wnew = jnp.minimum(wold + wadd, max_weight)
                 denom = jnp.maximum(wold + wadd, 1.0)
                 tnew = (told * wold + wadd) / denom
-                tsdf_out[ix, :, :] = jnp.where(iv, tnew, told)
-                w_out[ix, :, :] = wnew
+                vol_out[0, ix, :, :] = jnp.where(iv, tnew, told)
+                vol_out[1, ix, :, :] = wnew
                 return 0
 
             jax.lax.fori_loop(0, 8, body, 0)
@@ -389,8 +386,8 @@ def _kernel(
         # reduces per slab are ~6x slower on the VPU.
         def sign_body(ix, carry):
             mn_t, mx_t = carry
-            t = tsdf_out[ix]
-            obs = w_out[ix] > 0.0
+            t = vol_out[0, ix]
+            obs = vol_out[1, ix] > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
             return mn_t, mx_t
@@ -399,11 +396,22 @@ def _kernel(
         mn_t, mx_t = jax.lax.fori_loop(0, 8, sign_body, (ones, -ones))
         may_cross = (jnp.min(mn_t) < 0.0) & (jnp.max(mx_t) >= 0.0)
 
+        class _Chan:
+            """Channel view of the packed block for plane_fields_for_block
+            (needs ``ref[ix] -> (8, nz)`` reads and ``.shape[2]``)."""
+
+            def __init__(self, c):
+                self.c = c
+                self.shape = (8, 8, CHUNK_Z)
+
+            def __getitem__(self, ix):
+                return vol_out[self.c, ix]
+
         @pl.when(may_cross)
         def _():
             fields = plane_fields_for_block(
-                tsdf_out,
-                w_out,
+                _Chan(0),
+                _Chan(1),
                 ci,
                 cj,
                 vs=vs,
@@ -470,7 +478,7 @@ def tsdf_integrate_stream(
     """
     r = vol.resolution
     assert r % 8 == 0 and r % CHUNK_Z == 0, "volume must tile (8,8,128)"
-    assert vol.tsdf.dtype == jnp.float32
+    assert vol.data.dtype == jnp.float32
     nbx = r // 8
     nzc = r // CHUNK_Z
     assert planes.shape == planes_shape(r), planes.shape
@@ -501,7 +509,7 @@ def tsdf_integrate_stream(
     n = nbx * nbx * nzc
 
     def im_vol(s, wl, bi, bj, bk, cnt):
-        return (bi[s], bj[s], bk[s])
+        return (0, bi[s], bj[s], bk[s])
 
     def im_planes(s, wl, bi, bj, bk, cnt):
         return (bi[s], bj[s], bk[s], 0, 0)
@@ -515,8 +523,7 @@ def tsdf_integrate_stream(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
-            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((2, 8, 8, CHUNK_Z), im_vol),
             # planes_in exists only to alias planes_out (the kernel never
             # reads it): a CONSTANT index_map fires its block DMA once
             # instead of per step.
@@ -526,25 +533,23 @@ def tsdf_integrate_stream(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
-            pl.BlockSpec((8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((2, 8, 8, CHUNK_Z), im_vol),
             pl.BlockSpec((1, 1, 1, N_FIELDS, NSUB_C), im_planes),
         ],
     )
 
-    out_tsdf, out_w, out_planes = pl.pallas_call(
+    out_data, out_planes = pl.pallas_call(
         partial(_kernel, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(vol.tsdf.shape, vol.tsdf.dtype),
-            jax.ShapeDtypeStruct(vol.weight.shape, vol.weight.dtype),
+            jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
         ],
-        input_output_aliases={10: 0, 11: 1, 12: 2},
+        input_output_aliases={10: 0, 11: 1},
         interpret=interpret,
     )(
         wl.packed, wl.bi, wl.bj, wl.bk, wl.count,
-        params, m0, m1, m2, l3, vol.tsdf, vol.weight, planes,
+        params, m0, m1, m2, l3, vol.data, planes,
     )
 
-    return vol._replace(tsdf=out_tsdf, weight=out_w), out_planes
+    return vol._replace(data=out_data), out_planes

@@ -38,7 +38,7 @@ from housescan_tpu.kinfu.icp import (
 )
 from housescan_tpu.kinfu.preprocess import build_pyramid, vertex_normals
 from housescan_tpu.kinfu.raycast import raycast
-from housescan_tpu.kinfu.tsdf import TsdfVolume, integrate_core, tsdf_new
+from housescan_tpu.kinfu.tsdf import TsdfVolume, integrate_core, make_volume, tsdf_new
 from housescan_tpu.parallel.mesh import VOLUME_AXIS
 
 
@@ -61,11 +61,10 @@ def sharded_kinfu_init(
 ) -> ShardedKinFuState:
     """Allocate the volume already laid out in X-slabs across the mesh."""
     vol = tsdf_new(resolution, size_m, trunc)
-    sharding = NamedSharding(mesh, P(VOLUME_AXIS, None, None))
+    sharding = NamedSharding(mesh, P(None, VOLUME_AXIS, None, None))
     rep = NamedSharding(mesh, P())
     vol = TsdfVolume(
-        tsdf=jax.device_put(vol.tsdf, sharding),
-        weight=jax.device_put(vol.weight, sharding),
+        data=jax.device_put(vol.data, sharding),
         origin=jax.device_put(vol.origin, rep),
         voxel_size=jax.device_put(vol.voxel_size, rep),
         trunc=jax.device_put(vol.trunc, rep),
@@ -89,7 +88,7 @@ def _local_volume(tsdf, weight, origin, voxel_size, trunc, axis_name):
     local_origin = origin + jnp.array([1.0, 0.0, 0.0], jnp.float32) * (
         idx.astype(jnp.float32) * nx_local * voxel_size
     )
-    return TsdfVolume(tsdf, weight, local_origin, voxel_size, trunc)
+    return make_volume(tsdf, weight, local_origin, voxel_size, trunc)
 
 
 def _halo_extend_x(tsdf, weight, axis_name, halo: int):
@@ -159,7 +158,7 @@ def make_sharded_step(
     def raycast_shards(tsdf, weight, origin, voxel_size, trunc, pose):
         ext_t, ext_w = _halo_extend_x(tsdf, weight, axis, halo)
         vol = _local_volume(tsdf, weight, origin, voxel_size, trunc, axis)
-        vol = TsdfVolume(
+        vol = make_volume(
             ext_t,
             ext_w,
             vol.origin - jnp.array([halo, 0, 0], jnp.float32) * voxel_size,
@@ -261,7 +260,7 @@ def make_sharded_step(
         tsdf, weight = integrate_shards(
             vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc, raw_depth, new_pose
         )
-        volume = vol._replace(tsdf=tsdf, weight=weight)
+        volume = vol.replace_grids(tsdf=tsdf, weight=weight)
 
         verts, valid, _depth = raycast_shards(
             volume.tsdf, volume.weight, volume.origin, volume.voxel_size, volume.trunc, new_pose

@@ -126,43 +126,43 @@ def main():
                     force=lambda o: readout(o.pose))
 
     # --- stage: streaming integrate (donated, like the real loop) ---
-    tsdf, w, planes = vol0.tsdf, vol0.weight, state.planes
+    data, planes = vol0.data, state.planes
 
-    def integ(tsdf, w, planes, d, p):
-        v = vol0._replace(tsdf=tsdf, weight=w)
+    def integ(data, planes, d, p):
+        v = vol0._replace(data=data)
         nv, np_ = tsdf_integrate_stream(v, planes, d, p, intr)
-        return nv.tsdf, nv.weight, np_
+        return nv.data, np_
 
-    jint = jax.jit(integ, donate_argnums=(0, 1, 2))
-    tsdf, w, planes = jint(tsdf, w, planes, depth, pose)
+    jint = jax.jit(integ, donate_argnums=(0, 1))
+    data, planes = jint(data, planes, depth, pose)
     readout(planes)
     t0 = time.time()
     for _ in range(ITERS):
-        tsdf, w, planes = jint(tsdf, w, planes, depth, pose)
+        data, planes = jint(data, planes, depth, pose)
     readout(planes)
     dt = (time.time() - t0 - 0.025) / ITERS * 1000.0
     print(f"{'tsdf_integrate_stream (donated)':44s} {dt:8.2f} ms", flush=True)
 
     # --- ablation sweep over the streaming kernel ---
     for ab in ("copy", "no_free", "no_band", "no_planes"):
-        def integ_ab(tsdf, w, planes, d, p, ab=ab):
-            v = vol0._replace(tsdf=tsdf, weight=w)
+        def integ_ab(data, planes, d, p, ab=ab):
+            v = vol0._replace(data=data)
             nv, np_ = tsdf_integrate_stream(v, planes, d, p, intr, ablate=ab)
-            return nv.tsdf, nv.weight, np_
+            return nv.data, np_
 
-        ja = jax.jit(integ_ab, donate_argnums=(0, 1, 2))
-        ta, wa, pa = jnp.copy(tsdf), jnp.copy(w), jnp.copy(planes)
-        ta, wa, pa = ja(ta, wa, pa, depth, pose)
+        ja = jax.jit(integ_ab, donate_argnums=(0, 1))
+        da, pa = jnp.copy(data), jnp.copy(planes)
+        da, pa = ja(da, pa, depth, pose)
         readout(pa)
         t0 = time.time()
         for _ in range(ITERS):
-            ta, wa, pa = ja(ta, wa, pa, depth, pose)
+            da, pa = ja(da, pa, depth, pose)
         readout(pa)
         dt = (time.time() - t0 - 0.025) / ITERS * 1000.0
         print(f"{'integrate ablate=' + ab:44s} {dt:8.2f} ms", flush=True)
 
     # --- stage: raycast from persistent planes ---
-    volp = vol0._replace(tsdf=tsdf, weight=w)
+    volp = vol0._replace(data=data)
     from housescan_tpu.ops.raycast_tiles import build_tile_candidates, raycast_tiles_maps
     jc = jax.jit(lambda pl_, p: build_tile_candidates(pl_, p, intr, volp, z_min=0.3))
     cand, _ = timeit("raycast phase1 (candidates)", jc, planes, pose,

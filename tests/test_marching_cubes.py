@@ -17,7 +17,7 @@ HALF = np.array([1.0, 0.8, 1.2], np.float32)
 def box_mesh():
     gt = ground_truth_tsdf(64, 3.0, np.full(3, -1.5, np.float32), HALF, 0.1)
     vol = tsdf_new(64, 3.0, 0.1)
-    vol = vol._replace(tsdf=jnp.asarray(gt), weight=jnp.ones_like(vol.weight))
+    vol = vol.replace_grids(tsdf=jnp.asarray(gt), weight=jnp.ones_like(vol.weight))
     return marching_cubes(vol)
 
 
@@ -68,6 +68,6 @@ class TestBoxMesh:
 
     def test_unobserved_regions_produce_no_mesh(self):
         vol = tsdf_new(32, 3.0, 0.1)  # weight 0 everywhere
-        vol = vol._replace(tsdf=vol.tsdf.at[10:20].set(-1.0))
+        vol = vol.replace_grids(tsdf=vol.tsdf.at[10:20].set(-1.0))
         mesh = marching_cubes(vol)
         assert len(mesh.vertices) == 0

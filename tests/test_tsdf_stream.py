@@ -159,7 +159,7 @@ class TestStreamIntegrateParity:
         # Pre-fill with a recognizable pattern.
         rng = np.random.default_rng(1)
         pat = rng.normal(size=vol.tsdf.shape).astype(np.float32)
-        vol = vol._replace(tsdf=jnp.asarray(pat), weight=jnp.zeros_like(vol.weight))
+        vol = vol.replace_grids(tsdf=jnp.asarray(pat), weight=jnp.zeros_like(vol.weight))
 
         wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
         packed = np.asarray(wl.packed)
