@@ -222,18 +222,19 @@ def _icp_level_iteration(
         inc = _twist_to_proj(x)
         # Keep the old pose if the solve failed.
         new_pose = jnp.where(ok, pose @ inc, pose)
+        step_norm = jnp.where(ok, jnp.linalg.norm(x), 0.0)
     else:
         # One fused Pallas call: as separate XLA ops this scalar tail
         # costs ~400us PER ITERATION on this backend (tiny-op issue
         # latency), dwarfing the residual math (ops/solve6_pallas.py).
         from housescan_tpu.ops.solve6_pallas import solve_twist_compose
 
-        new_pose = solve_twist_compose(pose, a, b, damping=damping)
+        new_pose, step_norm = solve_twist_compose(pose, a, b, damping=damping)
 
     n_corr = jnp.sum(corr)
     sq = jnp.sum((r * w) ** 2)
     rmse = jnp.sqrt(sq / jnp.maximum(n_corr, 1))
-    return new_pose, rmse, n_corr
+    return new_pose, rmse, n_corr, step_norm
 
 
 def icp_track(
@@ -274,9 +275,17 @@ def icp_track(
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
         lvl_intr = intr.level(level)
 
-        def body(_, carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp):
-            p, _, _ = carry
-            return _icp_level_iteration(
+        # Iterate until the twist increment is negligible (the usual
+        # case after 3-5 iterations) or the level's budget runs out —
+        # the classic fixed-count loop wastes most of its iterations
+        # re-proving convergence.
+        def cond(carry, _iters=iters):
+            i, _, _, _, norm = carry
+            return (i < _iters) & (norm > 1e-5)
+
+        def body(carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp):
+            i, p, _, _, _ = carry
+            p2, rm, nc, norm = _icp_level_iteration(
                 p,
                 live_vertices[_level],
                 live_normals[_level],
@@ -290,10 +299,18 @@ def icp_track(
                 window=_win,
                 damping=_damp,
             )
+            return i + 1, p2, rm, nc, norm
 
-        pose, lvl_rmse, lvl_corr = jax.lax.fori_loop(
-            0, iters, body,
-            (pose, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32)),
+        _, pose, lvl_rmse, lvl_corr, _ = jax.lax.while_loop(
+            cond,
+            body,
+            (
+                jnp.asarray(0, jnp.int32),
+                pose,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(jnp.inf, jnp.float32),
+            ),
         )
         # Report diagnostics from the FINEST level that actually had
         # correspondences (identity association at level 0 contributes

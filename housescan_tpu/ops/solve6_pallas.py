@@ -132,6 +132,8 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
                 s_ = s_ + p(i, k) * inc[k][j]
             # Failed solve: keep the old pose.
             out.append(jnp.where(ok, s_, p(i, j)))
+    # Step norm (post-clamp): lets callers stop iterating once converged.
+    out.append(jnp.where(ok, nrm * fac, 0.0))
     return out
 
 
@@ -140,7 +142,7 @@ def _kernel(abp, out, *, damping, max_step):
     b_vec = [abp[0, 36 + i] for i in range(6)]
     pose_flat = [abp[0, 42 + i] for i in range(16)]
     res = _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step)
-    for i in range(16):
+    for i in range(17):
         out[0, i] = res[i]
 
 
@@ -152,8 +154,10 @@ def solve_twist_compose(
     damping: float = 3e-4,
     max_step: float = 0.3,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """pose @ exp(solve(A + damping*scale*I, b)) as one Pallas call."""
+) -> tuple:
+    """(pose @ exp(solve(A + damping*scale*I, b)), step_norm) as one
+    Pallas call; step_norm is the post-clamp twist magnitude (0 when the
+    solve failed), the convergence signal for early exit."""
     abp = jnp.concatenate(
         [a.reshape(-1), b.reshape(-1), pose.reshape(-1)]
     ).reshape(1, 58)
@@ -161,7 +165,7 @@ def solve_twist_compose(
         partial(_kernel, damping=damping, max_step=max_step),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 16), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 17), jnp.float32),
         interpret=interpret,
     )(abp)
-    return out.reshape(4, 4)
+    return out[0, :16].reshape(4, 4), out[0, 16]

@@ -235,7 +235,7 @@ class TestIcp:
             # window=2: shift-stack projective association (identity
             # association needs sub-pixel flow, which a full inter-frame
             # motion doesn't satisfy)
-            pose, rmse, ncorr = _icp_level_iteration(
+            pose, rmse, ncorr, _ = _icp_level_iteration(
                 pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236, window=4
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p1[3, :3])) < 5e-4  # 0.5mm
@@ -262,7 +262,7 @@ class TestIcp:
         )
         pose = jnp.asarray(bad)
         for _ in range(10):
-            pose, _, _ = _icp_level_iteration(
+            pose, _, _, _ = _icp_level_iteration(
                 pose, v0, n0, mv, mn, mok, p0, INTR, 0.10, 0.5236
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p0[3, :3])) < 1e-3

@@ -233,9 +233,11 @@ class TestSolveTwistPallas:
 
             x, ok = _solve_increment(a, b, damping=3e-4)
             want = np.asarray(jnp.where(ok, pose @ _twist_to_proj(x), pose))
-            got = np.asarray(
-                solve_twist_compose(pose, a, b, damping=3e-4, interpret=True)
+            got_pose, got_norm = solve_twist_compose(
+                pose, a, b, damping=3e-4, interpret=True
             )
+            got = np.asarray(got_pose)
+            assert float(got_norm) >= 0.0
             np.testing.assert_allclose(got, want, atol=2e-5)
 
     def test_degenerate_system_keeps_pose(self):
@@ -244,5 +246,5 @@ class TestSolveTwistPallas:
         a = jnp.zeros((6, 6))
         b = jnp.ones((6,))
         pose = jnp.eye(4)
-        got = np.asarray(solve_twist_compose(pose, a, b, interpret=True))
-        assert np.all(np.isfinite(got))
+        got, _ = solve_twist_compose(pose, a, b, interpret=True)
+        assert np.all(np.isfinite(np.asarray(got)))
