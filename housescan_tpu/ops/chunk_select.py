@@ -23,14 +23,17 @@ touches the volume:
     repeating the last entry so the Pallas pipeline elides the padded
     steps' DMAs (consecutive identical block indices).
 
-The descriptor packs into one int32:
-  bits [0:7)   ci      volume x block   (8 voxels)
-  bits [7:14)  cj      volume y block   (8 voxels)
-  bits [14:18) ck      volume z chunk   (128 voxels)
-  bits [18:20) cls     0=FREE 1=BAND 2=NOOP (copy only; count==0 filler)
-  bits [20:22) level   depth-mip level for the band window
-  bits [22:28) v08     window row origin / 8
-  bits [28:31) u0128   window col origin / 128
+Work-list entries are (2, 8, 8, 256) SUPERCHUNKS — two z-adjacent
+chunks per entry, halving the per-step Pallas buffer bookkeeping — with
+block coordinates in the side arrays ``bi``/``bj``/``bk`` (bk in
+256-voxel units) and one packed int32 of two 13-bit HALF descriptors:
+  bits [0:2)   cls     0=FREE 1=BAND 2=NOOP (copy only) 3=REFINE
+  bits [2:4)   level   depth-mip level for the band window
+  bits [4:10)  v08     window row origin / 8
+  bits [10:13) u0128   window col origin / 128
+(low half = even chunk, bits [13:26) = odd chunk). Volumes whose z
+extent is a single chunk (nzc odd, e.g. 128^3) fall back to one-chunk
+entries with a NOOP high half.
 
 Reference: the external KinFu's CUDA integrate visits every voxel every
 frame (ref README.md:14); the selective pass is the TPU redesign that
@@ -64,7 +67,7 @@ L3_U = 256
 
 
 class WorkList(NamedTuple):
-    packed: jnp.ndarray  # (n_chunks,) int32 descriptors, padded
+    packed: jnp.ndarray  # (n_entries,) int32 half-descriptor pairs, padded
     count: jnp.ndarray  # (1,) int32 number of real entries
     # Pre-decoded block coordinates (= packed's low bits): the Pallas
     # index_maps run per grid step on the scalar core, so handing them
@@ -409,33 +412,89 @@ def build_worklist(
     v0 = jnp.where(level == 3, 0, v0)
     u0 = jnp.where(level == 3, 0, u0)
 
-    packed = (
-        ci
-        | (cj << 7)
-        | (ck << 14)
-        | (cls << 18)
-        | (level << 20)
-        | ((v0 >> 3) << 22)
-        | ((u0 >> 7) << 28)
+    # Per-chunk HALF descriptor: cls(2) level(2) v08(6) u0128(3) = 13 bits.
+    half = (
+        cls | (level << 2) | ((v0 >> 3) << 4) | ((u0 >> 7) << 10)
     ).astype(jnp.int32)
+    noop_half = jnp.int32(CLS_NOOP)
+    half = jnp.where(skip, noop_half, half)
+
+    if nzc % 2 == 0:
+        # ---- SUPERCHUNK pairing: two z-adjacent chunks per work-list
+        # entry / (2, 8, 8, 256) block. Per-buffer DMA bookkeeping costs
+        # ~0.36us per ACTIVE grid step on this backend, so halving the
+        # step count halves it; a listed superchunk with one SKIP half
+        # simply carries a NOOP half-descriptor. ----
+        n_super = n // 2
+        half2 = half.reshape(n_super, 2)
+        skip2 = skip.reshape(n_super, 2)
+        packed = (half2[:, 0] | (half2[:, 1] << 13)).astype(jnp.int32)
+        skip_s = skip2[:, 0] & skip2[:, 1]
+        sci = ci.reshape(n_super, 2)[:, 0]
+        scj = cj.reshape(n_super, 2)[:, 0]
+        sck = ck.reshape(n_super, 2)[:, 0] >> 1  # superchunk z index
+    else:
+        # Odd chunk count in z (e.g. 128^3): single-chunk entries with a
+        # NOOP second half.
+        n_super = n
+        packed = (half | (noop_half << 13)).astype(jnp.int32)
+        skip_s = skip
+        sci, scj, sck = ci, cj, ck
 
     # ---- compaction: non-skip first, raster order preserved ----
-    order = jnp.argsort(skip, stable=True)
+    coords = (sci | (scj << 7) | (sck << 14)).astype(jnp.int32)
+    order = jnp.argsort(skip_s, stable=True)
     sorted_packed = packed[order]
-    count = jnp.sum(~skip).astype(jnp.int32)
+    sorted_coords = coords[order]
+    count = jnp.sum(~skip_s).astype(jnp.int32)
 
-    # count == 0: one NOOP entry on chunk (0,0,0) keeps the pipeline's
-    # revisit-elision invariant (padding repeats a real entry).
-    noop = jnp.int32(CLS_NOOP << 18)
+    # count == 0: one all-NOOP entry on chunk (0,0,0) keeps the
+    # pipeline's revisit-elision invariant (padding repeats a real
+    # entry).
+    noop = (noop_half | (noop_half << 13)).astype(jnp.int32)
     last = jnp.where(count > 0, sorted_packed[jnp.maximum(count - 1, 0)], noop)
-    steps = jnp.arange(n, dtype=jnp.int32)
+    last_c = jnp.where(count > 0, sorted_coords[jnp.maximum(count - 1, 0)], 0)
+    steps = jnp.arange(n_super, dtype=jnp.int32)
     wl = jnp.where(steps < count, sorted_packed, last)
-    wl = jnp.where(count > 0, wl, jnp.full((n,), noop, jnp.int32))
+    wl = jnp.where(count > 0, wl, jnp.full((n_super,), noop, jnp.int32))
+    wc = jnp.where(steps < count, sorted_coords, last_c)
+    wc = jnp.where(count > 0, wc, jnp.zeros((n_super,), jnp.int32))
     count = jnp.maximum(count, 1)
     return WorkList(
         packed=wl,
         count=count.reshape(1),
-        bi=wl & 127,
-        bj=(wl >> 7) & 127,
-        bk=(wl >> 14) & 15,
+        bi=wc & 127,
+        bj=(wc >> 7) & 127,
+        bk=(wc >> 14) & 15,
     )
+
+
+def decode_worklist(wl: WorkList):
+    """Numpy (ci, cj, ck, cls, level, v0, u0) rows for every listed CHUNK
+    (both superchunk halves, NOOP halves skipped) — test/debug helper."""
+    import numpy as np
+
+    packed = np.asarray(wl.packed)
+    bi = np.asarray(wl.bi)
+    bj = np.asarray(wl.bj)
+    bk = np.asarray(wl.bk)
+    count = int(np.asarray(wl.count)[0])
+    rows = []
+    for s in range(count):
+        for h in range(2):
+            d = (packed[s] >> (13 * h)) & 0x1FFF
+            cls = d & 3
+            if cls == CLS_NOOP:
+                continue
+            rows.append(
+                (
+                    int(bi[s]),
+                    int(bj[s]),
+                    int(bk[s]) * 2 + h,
+                    cls,
+                    (d >> 2) & 3,
+                    ((d >> 4) & 63) * 8,
+                    ((d >> 10) & 7) * 128,
+                )
+            )
+    return rows

@@ -46,6 +46,7 @@ from housescan_tpu.kinfu.tsdf import TsdfVolume
 from housescan_tpu.ops.chunk_select import (
     CLS_BAND,
     CLS_FREE,
+    CLS_NOOP,
     CLS_REFINE,
     build_worklist,
 )
@@ -71,8 +72,8 @@ def planes_shape(resolution: int):
 
 
 def _kernel(
-    wl,  # scalar prefetch: (n,) packed descriptors
-    bi_a,  # scalar prefetch: pre-decoded block coords (index_maps only)
+    wl,  # scalar prefetch: (n,) packed half-descriptor pairs
+    bi_a,  # scalar prefetch: pre-decoded block coords
     bj_a,
     bk_a,
     cnt,  # scalar prefetch: (1,) real count
@@ -81,21 +82,18 @@ def _kernel(
     mip1,
     mip2,
     l3,  # VMEM full depth mips (0 = invalid)
-    vol_in,  # VMEM (2, 8, 8, 128) chunk: [tsdf, weight]
-    planes_in,  # VMEM (1, 1, 1, N_FIELDS, NSUB_C) — aliased, not read
+    vol_in,  # VMEM (2, 8, 8, 128*super_z): [tsdf, weight] superchunk
+    planes_in,  # VMEM (1, 1, super_z, N_FIELDS, NSUB_C) — aliased, not read
     vol_out,
     planes_out,
+    super_z=2,  # chunks per work-list entry (2, or 1 when nzc is odd)
     ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
 ):
     step = pl.program_id(0)
     p = wl[step]
-    ci = p & 127
-    cj = (p >> 7) & 127
-    ck = (p >> 14) & 15
-    cls = (p >> 18) & 3
-    level = (p >> 20) & 3
-    v0 = pl.multiple_of(((p >> 22) & 63) * 8, 8)
-    u0 = pl.multiple_of(((p >> 28) & 7) * 128, 128)
+    ci = bi_a[step]
+    cj = bj_a[step]
+    bk = bk_a[step]  # block z index in super_z-chunk units
 
     r00, r01, r02 = params[0], params[1], params[2]
     r10, r11, r12 = params[3], params[4], params[5]
@@ -113,22 +111,145 @@ def _kernel(
 
     active = step < cnt[0]
 
-    # Padded steps revisit the last real chunk: its in/out VMEM buffers
-    # hold that chunk's ORIGINAL and UPDATED contents respectively, so a
-    # padded step must write nothing at all.
+    # Padded steps revisit the last real superchunk: its in/out VMEM
+    # buffers hold that entry's ORIGINAL and UPDATED contents
+    # respectively, so a padded step must write nothing at all.
     @pl.when(active)
     def _process():
         vol_out[...] = vol_in[...]
 
-        zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
-            jnp.float32
-        ) + (ck * CHUNK_Z).astype(jnp.float32)
-        iy_sub = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 0).astype(
-            jnp.float32
-        )
+        for h in range(super_z):
+            _process_half(
+                h,
+                (p >> (13 * h)) & 0x1FFF,
+                ci,
+                cj,
+                bk * super_z + h,
+                params,
+                mip0,
+                mip1,
+                mip2,
+                l3,
+                vol_out,
+                planes_out,
+                nbx,
+                nzc,
+                ablate,
+            )
 
-        def tile_coords(ix_f):
-            """Camera and pixel coords for the (8 iy, 128 z) slab tile."""
+
+def _process_half(
+    h,  # python int: which half of the block (lane offset h*128)
+    desc,  # 13-bit half descriptor (traced scalar)
+    ci,
+    cj,
+    ckc,  # chunk z index (traced scalar)
+    params,
+    mip0,
+    mip1,
+    mip2,
+    l3,
+    vol_out,
+    planes_out,
+    nbx,
+    nzc,
+    ablate,
+):
+    cls = desc & 3
+    level = (desc >> 2) & 3
+    v0 = pl.multiple_of(((desc >> 4) & 63) * 8, 8)
+    u0 = pl.multiple_of(((desc >> 10) & 7) * 128, 128)
+
+    r00, r01, r02 = params[0], params[1], params[2]
+    r10, r11, r12 = params[3], params[4], params[5]
+    r20, r21, r22 = params[6], params[7], params[8]
+    tx, ty, tz = params[9], params[10], params[11]
+    fx, fy, cx, cy = params[12], params[13], params[14], params[15]
+    trunc = params[16]
+    vs = params[17]
+    ox, oy, oz = params[18], params[19], params[20]
+    max_weight = params[21]
+    img_w = params[22]
+    img_h = params[23]
+
+    zlo = h * CHUNK_Z  # static lane offset of this half in the block
+
+    def t_ref(ix):
+        return vol_out[0, ix, :, zlo : zlo + CHUNK_Z]
+
+    def w_ref(ix):
+        return vol_out[1, ix, :, zlo : zlo + CHUNK_Z]
+
+    def t_set(ix, v):
+        vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = v
+
+    def w_set(ix, v):
+        vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = v
+
+    zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
+        jnp.float32
+    ) + (ckc * CHUNK_Z).astype(jnp.float32)
+    iy_sub = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 0).astype(
+        jnp.float32
+    )
+
+    def tile_coords(ix_f):
+        """Camera and pixel coords for the (8 iy, 128 z) slab tile."""
+        xw = ox + (ci * 8 + ix_f + 0.5) * vs
+        yw = oy + (cj * 8 + iy_sub + 0.5) * vs
+        zw = oz + (zlane + 0.5) * vs
+        dx = xw - tx
+        dy = yw - ty
+        dz = zw - tz
+        xc = dx * r00 + dy * r01 + dz * r02
+        yc = dx * r10 + dy * r11 + dz * r12
+        zc = dx * r20 + dy * r21 + dz * r22
+        safe_z = jnp.maximum(zc, 1e-6)
+        uf = fx * xc / safe_z + cx
+        vf = fy * yc / safe_z + cy
+        in_view = (
+            (zc > 1e-6)
+            & (uf >= 0.0)
+            & (uf <= img_w - 1.0)
+            & (vf >= 0.0)
+            & (vf <= img_h - 1.0)
+        )
+        return uf, vf, zc, in_view
+
+    def update_tiles(get_depth_tile):
+        """RMW over the half-chunk's 8 x-slabs."""
+
+        def body(ix, _):
+            uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
+            d, has_depth = get_depth_tile(uf, vf)
+            sdf = d - zc
+            update = iv & has_depth & (sdf >= -trunc)
+            sample = jnp.clip(sdf / trunc, -1.0, 1.0)
+
+            told = t_ref(ix)
+            wold = w_ref(ix)
+            wadd = update.astype(jnp.float32)
+            wnew = jnp.minimum(wold + wadd, max_weight)
+            denom = jnp.maximum(wold + wadd, 1.0)
+            tnew = (told * wold + sample * wadd) / denom
+            t_set(ix, jnp.where(update, tnew, told))
+            w_set(ix, wnew)
+            return 0
+
+        jax.lax.fori_loop(0, 8, body, 0)
+
+    if ablate == "copy":
+        return
+
+    @pl.when((cls == CLS_FREE) & (0 == (1 if ablate == "no_free" else 0)))
+    def _():
+        # Confidently in front of every valid pixel: sample = +1 for
+        # every in-view voxel (prepass guarantees validity). The in-view
+        # test multiplies through by zc instead of forming u/v (VPU
+        # divides are multi-pass); only the weight blend keeps one
+        # divide.
+        def body(ix, _):
+            ix_f = ix.astype(jnp.float32)
             xw = ox + (ci * 8 + ix_f + 0.5) * vs
             yw = oy + (cj * 8 + iy_sub + 0.5) * vs
             zw = oz + (zlane + 0.5) * vs
@@ -138,256 +259,201 @@ def _kernel(
             xc = dx * r00 + dy * r01 + dz * r02
             yc = dx * r10 + dy * r11 + dz * r12
             zc = dx * r20 + dy * r21 + dz * r22
-            safe_z = jnp.maximum(zc, 1e-6)
-            uf = fx * xc / safe_z + cx
-            vf = fy * yc / safe_z + cy
-            in_view = (
+            fxx = fx * xc
+            fyy = fy * yc
+            iv = (
                 (zc > 1e-6)
-                & (uf >= 0.0)
-                & (uf <= img_w - 1.0)
-                & (vf >= 0.0)
-                & (vf <= img_h - 1.0)
+                & (fxx >= -cx * zc)
+                & (fxx <= (img_w - 1.0 - cx) * zc)
+                & (fyy >= -cy * zc)
+                & (fyy <= (img_h - 1.0 - cy) * zc)
             )
-            return uf, vf, zc, in_view
+            told = t_ref(ix)
+            wold = w_ref(ix)
+            wadd = iv.astype(jnp.float32)
+            wnew = jnp.minimum(wold + wadd, max_weight)
+            denom = jnp.maximum(wold + wadd, 1.0)
+            tnew = (told * wold + wadd) / denom
+            t_set(ix, jnp.where(iv, tnew, told))
+            w_set(ix, wnew)
+            return 0
 
-        def update_tiles(get_depth_tile):
-            """RMW over the chunk's 8 x-slabs."""
+        jax.lax.fori_loop(0, 8, body, 0)
 
-            def body(ix, _):
-                uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
-                d, has_depth = get_depth_tile(uf, vf)
-                sdf = d - zc
-                update = iv & has_depth & (sdf >= -trunc)
-                sample = jnp.clip(sdf / trunc, -1.0, 1.0)
+    def band_update(window, nrows, scale, v0f, u0f):
+        """Exact bilinear depth from a (nrows, WIN_U) window.
 
-                told = vol_out[0, ix, :, :]
-                wold = vol_out[1, ix, :, :]
-                wadd = update.astype(jnp.float32)
-                wnew = jnp.minimum(wold + wadd, max_weight)
-                denom = jnp.maximum(wold + wadd, 1.0)
-                tnew = (told * wold + sample * wadd) / denom
-                vol_out[0, ix, :, :] = jnp.where(update, tnew, told)
-                vol_out[1, ix, :, :] = wnew
-                return 0
+        Contraction order: columns first on the MXU
+        (win2 @ wc -> (2*nrows, Z)), then the nrows-row v-weight reduce
+        on the VPU. Algebraically identical to the dense kernel's order,
+        8x less VPU work."""
+        valid_w = (window > 0.0).astype(jnp.float32)
+        win2 = jnp.concatenate([window, valid_w], axis=0)
+        rows_i = jax.lax.broadcasted_iota(
+            jnp.int32, (nrows, CHUNK_Z), 0
+        ).astype(jnp.float32)
+        cols_i = jax.lax.broadcasted_iota(
+            jnp.int32, (WIN_U, CHUNK_Z), 0
+        ).astype(jnp.float32)
 
-            jax.lax.fori_loop(0, 8, body, 0)
-
-        if ablate == "copy":
-            return
-
-        @pl.when((cls == CLS_FREE) & (0 == (1 if ablate == "no_free" else 0)))
-        def _():
-            # Confidently in front of every valid pixel: sample = +1 for
-            # every in-view voxel (prepass guarantees validity). The
-            # in-view test multiplies through by zc instead of forming
-            # u/v (VPU divides are multi-pass); only the weight blend
-            # keeps one divide.
-            def body(ix, _):
-                ix_f = ix.astype(jnp.float32)
-                xw = ox + (ci * 8 + ix_f + 0.5) * vs
-                yw = oy + (cj * 8 + iy_sub + 0.5) * vs
-                zw = oz + (zlane + 0.5) * vs
-                dx = xw - tx
-                dy = yw - ty
-                dz = zw - tz
-                xc = dx * r00 + dy * r01 + dz * r02
-                yc = dx * r10 + dy * r11 + dz * r12
-                zc = dx * r20 + dy * r21 + dz * r22
-                fxx = fx * xc
-                fyy = fy * yc
-                iv = (
-                    (zc > 1e-6)
-                    & (fxx >= -cx * zc)
-                    & (fxx <= (img_w - 1.0 - cx) * zc)
-                    & (fyy >= -cy * zc)
-                    & (fyy <= (img_h - 1.0 - cy) * zc)
+        def get_depth_tile(uf, vf):
+            uw = uf / scale - u0f
+            vw = vf / scale - v0f
+            d_rows = []
+            den_rows = []
+            for iy in range(8):
+                wc = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
+                )  # (WIN_U, Z)
+                t2 = jax.lax.dot_general(
+                    win2,
+                    wc,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (2*nrows, Z)
+                wr = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_i)
+                )  # (nrows, Z)
+                d_rows.append(
+                    jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
                 )
-                told = vol_out[0, ix, :, :]
-                wold = vol_out[1, ix, :, :]
-                wadd = iv.astype(jnp.float32)
-                wnew = jnp.minimum(wold + wadd, max_weight)
-                denom = jnp.maximum(wold + wadd, 1.0)
-                tnew = (told * wold + wadd) / denom
-                vol_out[0, ix, :, :] = jnp.where(iv, tnew, told)
-                vol_out[1, ix, :, :] = wnew
-                return 0
+                den_rows.append(
+                    jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
+                )
+            num = jnp.concatenate(d_rows, axis=0)
+            den = jnp.concatenate(den_rows, axis=0)
+            d = num / jnp.maximum(den, 1e-12)
+            return d, den > 1e-6
 
-            jax.lax.fori_loop(0, 8, body, 0)
+        update_tiles(get_depth_tile)
 
-        def band_update(window, nrows, scale, v0f, u0f):
-            """Exact bilinear depth from a (nrows, WIN_U) window.
+    def band_dispatch(lvl, v0s, u0s):
+        """Window slice + band update for a (possibly traced) level and
+        aligned origins."""
+        scale = jnp.where(
+            lvl == 0,
+            1.0,
+            jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
+        )
 
-            Contraction order: columns first on the MXU
-            (win2 @ wc -> (2*nrows, Z)), then the nrows-row v-weight
-            reduce on the VPU. Algebraically identical to the dense
-            kernel's order, 8x less VPU work."""
-            valid_w = (window > 0.0).astype(jnp.float32)
-            win2 = jnp.concatenate([window, valid_w], axis=0)
-            rows_i = jax.lax.broadcasted_iota(
-                jnp.int32, (nrows, CHUNK_Z), 0
-            ).astype(jnp.float32)
-            cols_i = jax.lax.broadcasted_iota(
-                jnp.int32, (WIN_U, CHUNK_Z), 0
-            ).astype(jnp.float32)
+        @pl.when(lvl == 0)
+        def _():
+            band_update(
+                mip0[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                WIN_V,
+                scale,
+                v0s.astype(jnp.float32),
+                u0s.astype(jnp.float32),
+            )
 
-            def get_depth_tile(uf, vf):
-                uw = uf / scale - u0f
-                vw = vf / scale - v0f
-                d_rows = []
-                den_rows = []
-                for iy in range(8):
-                    wc = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
-                    )  # (WIN_U, Z)
-                    t2 = jax.lax.dot_general(
-                        win2,
-                        wc,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )  # (2*nrows, Z)
-                    wr = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_i)
-                    )  # (nrows, Z)
-                    d_rows.append(
-                        jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
-                    )
-                    den_rows.append(
-                        jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
-                    )
-                num = jnp.concatenate(d_rows, axis=0)
-                den = jnp.concatenate(den_rows, axis=0)
-                d = num / jnp.maximum(den, 1e-12)
-                return d, den > 1e-6
+        @pl.when(lvl == 1)
+        def _():
+            band_update(
+                mip1[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                WIN_V,
+                scale,
+                v0s.astype(jnp.float32),
+                u0s.astype(jnp.float32),
+            )
 
-            update_tiles(get_depth_tile)
+        @pl.when(lvl == 2)
+        def _():
+            band_update(
+                mip2[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
+                WIN_V,
+                scale,
+                v0s.astype(jnp.float32),
+                u0s.astype(jnp.float32),
+            )
 
-        def band_dispatch(lvl, v0s, u0s):
-            """Window slice + band update for a (possibly traced) level
-            and aligned origins."""
-            scale = jnp.where(
+        @pl.when(lvl == 3)
+        def _():
+            band_update(l3[...], L3_V, scale, 0.0, 0.0)
+
+    @pl.when((cls == CLS_BAND) & (0 == (1 if ablate == "no_band" else 0)))
+    def _():
+        band_dispatch(level, v0, u0)
+
+    @pl.when(cls == CLS_REFINE)
+    def _():
+        # Prepass couldn't bound the footprint (camera-plane straddle or
+        # image-boundary clip): recompute the per-voxel in-view bbox
+        # exactly like the dense kernel, so mip levels match it.
+        def bbox_body(ix, carry):
+            bumin, bumax, bvmin, bvmax, anyv = carry
+            big = jnp.float32(BIG)
+            uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
+            bumin = jnp.minimum(bumin, jnp.min(jnp.where(iv, uf, big)))
+            bumax = jnp.maximum(bumax, jnp.max(jnp.where(iv, uf, -big)))
+            bvmin = jnp.minimum(bvmin, jnp.min(jnp.where(iv, vf, big)))
+            bvmax = jnp.maximum(bvmax, jnp.max(jnp.where(iv, vf, -big)))
+            return bumin, bumax, bvmin, bvmax, anyv | jnp.any(iv)
+
+        big = jnp.float32(BIG)
+        bumin, bumax, bvmin, bvmax, any_view = jax.lax.fori_loop(
+            0, 8, bbox_body, (big, -big, big, -big, False)
+        )
+
+        @pl.when(any_view)
+        def _():
+            span_u = bumax - bumin
+            span_v = bvmax - bvmin
+
+            def fits(l):
+                s = float(1 << l)
+                return (span_v <= 22.0 * s) & (span_u <= 120.0 * s)
+
+            lvl = jnp.where(
+                fits(0), 0, jnp.where(fits(1), 1, jnp.where(fits(2), 2, 3))
+            ).astype(jnp.int32)
+            sc = jnp.where(
                 lvl == 0,
                 1.0,
                 jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
             )
-
-            @pl.when(lvl == 0)
-            def _():
-                band_update(
-                    mip0[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                    WIN_V,
-                    scale,
-                    v0s.astype(jnp.float32),
-                    u0s.astype(jnp.float32),
-                )
-
-            @pl.when(lvl == 1)
-            def _():
-                band_update(
-                    mip1[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                    WIN_V,
-                    scale,
-                    v0s.astype(jnp.float32),
-                    u0s.astype(jnp.float32),
-                )
-
-            @pl.when(lvl == 2)
-            def _():
-                band_update(
-                    mip2[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                    WIN_V,
-                    scale,
-                    v0s.astype(jnp.float32),
-                    u0s.astype(jnp.float32),
-                )
-
-            @pl.when(lvl == 3)
-            def _():
-                band_update(l3[...], L3_V, scale, 0.0, 0.0)
-
-        @pl.when((cls == CLS_BAND) & (0 == (1 if ablate == "no_band" else 0)))
-        def _():
-            band_dispatch(level, v0, u0)
-
-        @pl.when(cls == CLS_REFINE)
-        def _():
-            # Prepass couldn't bound the footprint (camera-plane straddle
-            # or image-boundary clip): recompute the per-voxel in-view
-            # bbox exactly like the dense kernel, so mip levels match it.
-            def bbox_body(ix, carry):
-                bumin, bumax, bvmin, bvmax, anyv = carry
-                big = jnp.float32(BIG)
-                uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
-                bumin = jnp.minimum(bumin, jnp.min(jnp.where(iv, uf, big)))
-                bumax = jnp.maximum(bumax, jnp.max(jnp.where(iv, uf, -big)))
-                bvmin = jnp.minimum(bvmin, jnp.min(jnp.where(iv, vf, big)))
-                bvmax = jnp.maximum(bvmax, jnp.max(jnp.where(iv, vf, -big)))
-                return bumin, bumax, bvmin, bvmax, anyv | jnp.any(iv)
-
-            big = jnp.float32(BIG)
-            bumin, bumax, bvmin, bvmax, any_view = jax.lax.fori_loop(
-                0, 8, bbox_body, (big, -big, big, -big, False)
+            h_sel = jnp.where(
+                lvl == 0,
+                mip0.shape[0],
+                jnp.where(lvl == 1, mip1.shape[0], mip2.shape[0]),
             )
+            w_sel = jnp.where(
+                lvl == 0,
+                mip0.shape[1],
+                jnp.where(lvl == 1, mip1.shape[1], mip2.shape[1]),
+            )
+            v0r = pl.multiple_of(
+                jnp.clip(
+                    ((bvmin / sc).astype(jnp.int32) - 1) & ~7, 0, h_sel - WIN_V
+                ),
+                8,
+            )
+            u0r = pl.multiple_of(
+                jnp.clip(
+                    ((bumin / sc).astype(jnp.int32) - 1) & ~127,
+                    0,
+                    w_sel - WIN_U,
+                ),
+                128,
+            )
+            band_dispatch(lvl, v0r, u0r)
 
-            @pl.when(any_view)
-            def _():
-                span_u = bumax - bumin
-                span_v = bvmax - bvmin
+    # Persistent planes: recompute for every visited (non-NOOP) chunk
+    # (its TSDF may have changed), keep everyone else's HBM values via
+    # the alias. Early out when no zero crossing can exist (no observed
+    # sign change) — most visited chunks are pure free-space carving and
+    # skip the whole moment pass.
+    if ablate in ("no_planes",):
+        return
 
-                def fits(l):
-                    s = float(1 << l)
-                    return (span_v <= 22.0 * s) & (span_u <= 120.0 * s)
-
-                lvl = jnp.where(
-                    fits(0), 0, jnp.where(fits(1), 1, jnp.where(fits(2), 2, 3))
-                ).astype(jnp.int32)
-                sc = jnp.where(
-                    lvl == 0,
-                    1.0,
-                    jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
-                )
-                h_sel = jnp.where(
-                    lvl == 0,
-                    mip0.shape[0],
-                    jnp.where(lvl == 1, mip1.shape[0], mip2.shape[0]),
-                )
-                w_sel = jnp.where(
-                    lvl == 0,
-                    mip0.shape[1],
-                    jnp.where(lvl == 1, mip1.shape[1], mip2.shape[1]),
-                )
-                v0r = pl.multiple_of(
-                    jnp.clip(
-                        ((bvmin / sc).astype(jnp.int32) - 1) & ~7,
-                        0,
-                        h_sel - WIN_V,
-                    ),
-                    8,
-                )
-                u0r = pl.multiple_of(
-                    jnp.clip(
-                        ((bumin / sc).astype(jnp.int32) - 1) & ~127,
-                        0,
-                        w_sel - WIN_U,
-                    ),
-                    128,
-                )
-                band_dispatch(lvl, v0r, u0r)
-
-        # Persistent planes: recompute for every visited chunk (its TSDF
-        # may have changed), keep everyone else's HBM values via the
-        # alias. Early out when no zero crossing can exist (no observed
-        # sign change) — most visited chunks are pure free-space carving
-        # and skip the whole moment pass.
-        if ablate in ("no_planes",):
-            return
-
+    @pl.when(cls != CLS_NOOP)
+    def _():
         # Tile-wise accumulation (elementwise min/max across slabs) with
         # a single final scalar reduce pair — full (8,128)->scalar
         # reduces per slab are ~6x slower on the VPU.
         def sign_body(ix, carry):
             mn_t, mx_t = carry
-            t = vol_out[0, ix]
-            obs = vol_out[1, ix] > 0.0
+            t = t_ref(ix)
+            obs = w_ref(ix) > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
             return mn_t, mx_t
@@ -397,15 +463,16 @@ def _kernel(
         may_cross = (jnp.min(mn_t) < 0.0) & (jnp.max(mx_t) >= 0.0)
 
         class _Chan:
-            """Channel view of the packed block for plane_fields_for_block
-            (needs ``ref[ix] -> (8, nz)`` reads and ``.shape[2]``)."""
+            """Channel view of this half of the packed block for
+            plane_fields_for_block (needs ``ref[ix] -> (8, nz)`` reads
+            and ``.shape[2]``)."""
 
             def __init__(self, c):
                 self.c = c
                 self.shape = (8, 8, CHUNK_Z)
 
             def __getitem__(self, ix):
-                return vol_out[self.c, ix]
+                return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z]
 
         @pl.when(may_cross)
         def _():
@@ -420,14 +487,14 @@ def _kernel(
                 oz=oz,
                 nbx=nbx,
                 min_count=6.0,
-                k=ck,
+                k=ckc,
                 nzc=nzc,
             )
-            planes_out[0, 0, 0, :, :] = fields
+            planes_out[0, 0, h, :, :] = fields
 
         @pl.when(~may_cross)
         def _():
-            planes_out[0, 0, 0, :, :] = jnp.zeros(
+            planes_out[0, 0, h, :, :] = jnp.zeros(
                 (N_FIELDS, NSUB_C), jnp.float32
             )
 
@@ -482,6 +549,7 @@ def tsdf_integrate_stream(
     nbx = r // 8
     nzc = r // CHUNK_Z
     assert planes.shape == planes_shape(r), planes.shape
+    super_z = 2 if nzc % 2 == 0 else 1
 
     depth = depth.astype(jnp.float32)
     wl = build_worklist(
@@ -506,7 +574,7 @@ def tsdf_integrate_stream(
         ]
     ).astype(jnp.float32)
 
-    n = nbx * nbx * nzc
+    n_entries = nbx * nbx * (nzc // super_z)
 
     def im_vol(s, wl, bi, bj, bk, cnt):
         return (0, bi[s], bj[s], bk[s])
@@ -516,30 +584,30 @@ def tsdf_integrate_stream(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(n,),
+        grid=(n_entries,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 8, 8, CHUNK_Z), im_vol),
+            pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
             # planes_in exists only to alias planes_out (the kernel never
             # reads it): a CONSTANT index_map fires its block DMA once
             # instead of per step.
             pl.BlockSpec(
-                (1, 1, 1, N_FIELDS, NSUB_C),
+                (1, 1, super_z, N_FIELDS, NSUB_C),
                 lambda s, wl, bi, bj, bk, cnt: (0, 0, 0, 0, 0),
             ),
         ],
         out_specs=[
-            pl.BlockSpec((2, 8, 8, CHUNK_Z), im_vol),
-            pl.BlockSpec((1, 1, 1, N_FIELDS, NSUB_C), im_planes),
+            pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
+            pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
         ],
     )
 
     out_data, out_planes = pl.pallas_call(
-        partial(_kernel, ablate=ablate),
+        partial(_kernel, super_z=super_z, ablate=ablate),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),

@@ -14,7 +14,7 @@ import numpy as np
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.synthetic import furnished_room, orbit_poses, render_depth_stream
 from housescan_tpu.kinfu.tsdf import tsdf_integrate, tsdf_new
-from housescan_tpu.ops.chunk_select import CLS_BAND, CLS_FREE, build_worklist
+from housescan_tpu.ops.chunk_select import CLS_BAND, CLS_FREE, build_worklist, decode_worklist
 from housescan_tpu.ops.tsdf_stream import planes_shape, tsdf_integrate_stream
 
 INTR = Intrinsics(width=160, height=120, fx=131.25, fy=131.25, cx=79.5, cy=59.5)
@@ -47,30 +47,30 @@ class TestChunkSelect:
         wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
         ref = tsdf_integrate(vol, d0, p0, INTR)
         touched = np.asarray(ref.weight) > 0  # (128,128,128)
-        packed = np.asarray(wl.packed)
-        count = int(wl.count[0])
         listed = np.zeros((16, 16, 1), bool)
-        for p in packed[:count]:
-            listed[p & 127, (p >> 7) & 127, (p >> 14) & 15] = True
+        for ci, cj, ck, cls, lvl, v0, u0 in decode_worklist(wl):
+            listed[ci, cj, ck] = True
 
         chunk_touched = touched.reshape(16, 8, 16, 8, 1, 128).any(axis=(1, 3, 5))
         missed = chunk_touched & ~listed
         assert not missed.any(), f"{missed.sum()} touched chunks not in work list"
 
     def test_padding_repeats_last_entry(self):
-        # 256^3: chunks are (8, 8, 128) z-halves, so behind-surface and
-        # out-of-frustum chunks exist and the list is truly compacted
-        # (at 128^3 every chunk spans the full volume depth and stays).
+        # 512^3: superchunk entries are (2, 8, 8, 256) z-pairs, so
+        # behind-surface and out-of-frustum entries exist and the list is
+        # truly compacted (at coarser volumes every entry spans the full
+        # volume depth and stays listed).
         frames, poses = _scene()
-        vol = tsdf_new(256, 3.0, 0.06)
+        vol = tsdf_new(512, 3.0, 0.06)
         wl = build_worklist(
-            jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR, 256,
+            jnp.asarray(frames[0]), jnp.asarray(poses[0]), INTR, 512,
             vol.voxel_size, vol.origin, vol.trunc,
         )
         packed = np.asarray(wl.packed)
         count = int(wl.count[0])
         assert 0 < count < packed.size
         assert (packed[count:] == packed[count - 1]).all()
+        assert (np.asarray(wl.bi)[count:] == np.asarray(wl.bi)[count - 1]).all()
 
     def test_free_chunks_really_free(self):
         """FREE-classified chunks must be strictly in front of all valid
@@ -82,16 +82,13 @@ class TestChunkSelect:
             jnp.asarray(d0), jnp.asarray(p0), INTR, 128,
             vol.voxel_size, vol.origin, vol.trunc,
         )
-        packed = np.asarray(wl.packed)
-        count = int(wl.count[0])
         vs = 3.0 / 128
         origin = np.array([-1.5, -1.5, -1.5])
         rot, t = p0[:3, :3], p0[3, :3]
         dvalid = d0 > 0
-        for p in packed[:count]:
-            if ((p >> 18) & 3) != CLS_FREE:
+        for ci, cj, ck, cls, lvl, v0, u0 in decode_worklist(wl):
+            if cls != CLS_FREE:
                 continue
-            ci, cj, ck = p & 127, (p >> 7) & 127, (p >> 14) & 15
             # sample the chunk's voxel centers sparsely
             xs = origin[0] + (ci * 8 + np.arange(0, 8, 2) + 0.5) * vs
             ys = origin[1] + (cj * 8 + np.arange(0, 8, 2) + 0.5) * vs
@@ -162,11 +159,9 @@ class TestStreamIntegrateParity:
         vol = vol.replace_grids(tsdf=jnp.asarray(pat), weight=jnp.zeros_like(vol.weight))
 
         wl = build_worklist(d0, p0, INTR, 128, vol.voxel_size, vol.origin, vol.trunc)
-        packed = np.asarray(wl.packed)
-        count = int(wl.count[0])
         listed = np.zeros((16, 16, 1), bool)
-        for p in packed[:count]:
-            listed[p & 127, (p >> 7) & 127, (p >> 14) & 15] = True
+        for ci, cj, ck, cls, lvl, v0, u0 in decode_worklist(wl):
+            listed[ci, cj, ck] = True
 
         planes = jnp.zeros(planes_shape(128), jnp.float32)
         out, _ = _integrate_stream(vol, planes, d0, p0)
@@ -207,8 +202,7 @@ class TestStreamIntegrateParity:
         # Only the fields of VALID planes are consumed by the raycast
         # (field 4 gates candidates); the streaming kernel's crossing
         # early-out writes zeros where no plane can be valid.
-        for p in packed[:count]:
-            ci, cj, ck = p & 127, (p >> 7) & 127, (p >> 14) & 15
+        for ci, cj, ck, cls, lvl, v0, u0 in decode_worklist(wl):
             g, w_ = got[ci, cj, ck], want[ci, cj, ck]
             np.testing.assert_array_equal(g[4] > 0.5, w_[4] > 0.5)
             m = w_[4] > 0.5
@@ -248,3 +242,39 @@ class TestSolveTwistPallas:
         pose = jnp.eye(4)
         got, _ = solve_twist_compose(pose, a, b, interpret=True)
         assert np.all(np.isfinite(np.asarray(got)))
+
+
+class TestSuperchunkMode:
+    def test_256_parity_with_xla(self):
+        """256^3 engages the (2, 8, 8, 256) superchunk path (nzc even);
+        parity with the XLA reference must hold there too."""
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+
+        ref = tsdf_integrate(tsdf_new(256, 3.0, 0.06), d0, p0, INTR)
+        vol = tsdf_new(256, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(256), jnp.float32)
+        out, got_planes = _integrate_stream(vol, planes, d0, p0)
+
+        w_ref = np.asarray(ref.weight)
+        w_out = np.asarray(out.weight)
+        assert (w_ref == w_out).mean() > 0.999
+        m = (w_ref > 0) & (w_out > 0)
+        diff = np.abs(np.asarray(ref.tsdf)[m] - np.asarray(out.tsdf)[m])
+        assert np.quantile(diff, 0.95) < 0.017
+
+        # Planes of both halves of visited superchunks match a fresh
+        # standalone extraction.
+        from housescan_tpu.ops.planes_pallas import extract_subblock_planes
+
+        want = np.asarray(extract_subblock_planes(out, interpret=True))
+        got = np.asarray(got_planes)
+        wl = build_worklist(d0, p0, INTR, 256, out.voxel_size, out.origin, out.trunc)
+        checked = 0
+        for ci, cj, ck, cls, lvl, v0, u0 in decode_worklist(wl):
+            g, w_ = got[ci, cj, ck], want[ci, cj, ck]
+            np.testing.assert_array_equal(g[4] > 0.5, w_[4] > 0.5)
+            mm = w_[4] > 0.5
+            np.testing.assert_allclose(g[:, mm], w_[:, mm], atol=1e-5)
+            checked += 1
+        assert checked > 100
