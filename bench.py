@@ -2,7 +2,9 @@
 
 The BASELINE.json headline metric. Runs the full jitted KinFu fusion step
 (bilateral -> pyramid -> gather-free ICP -> TSDF integrate -> raycast) on
-one real TPU chip at 640x480 / 512^3 and prints ONE JSON line:
+one real TPU chip at 640x480 / 512^3 over a 20-frame orbit (sustained
+throughput; short runs under-report by amortizing dispatch warm-up over
+too few frames) and prints ONE JSON line:
 
   {"metric": "...", "value": N, "unit": "fps", "vs_baseline": N}
 
@@ -34,7 +36,7 @@ def main() -> None:
     )
 
     resolution = int(os.environ.get("HOUSESCAN_BENCH_RES", "512"))
-    n_frames = int(os.environ.get("HOUSESCAN_BENCH_FRAMES", "5"))
+    n_frames = int(os.environ.get("HOUSESCAN_BENCH_FRAMES", "20"))
     wh = os.environ.get("HOUSESCAN_BENCH_WH", "640x480")
     width, height = (int(x) for x in wh.split("x"))
 

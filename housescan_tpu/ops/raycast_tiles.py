@@ -106,11 +106,20 @@ def build_tile_candidates(
     t0 = jnp.clip(jnp.floor((u - pr_u) / 128.0), 0, n_ut - 1).astype(jnp.int32)
     t1 = jnp.clip(jnp.ceil((u + pr_u) / 128.0), 0, n_ut - 1).astype(jnp.int32)
 
-    # Compact candidates first (same trick as the band kernel): keeps the
-    # pair sort at nv * MAX_PAIRS keys.
-    nv = min(16384, nb)
-    sel = jnp.argsort(~keep)[:nv]
-    keep_s = keep[sel]
+    # Compact candidates in two stages: a CHUNK-level prefilter (a 16x
+    # smaller bool argsort — chunks with no valid plane are the vast
+    # majority) followed by sub-block compaction within the selected
+    # chunks. Keeps the pair sort at nv * MAX_PAIRS keys.
+    n_chunks = nb // 16
+    chunk_valid = jnp.max(planes[:, :, :, 4, :], axis=-1).reshape(-1) > 0.5
+    nc = min(4096, n_chunks)
+    chunk_sel = jnp.argsort(~chunk_valid)[:nc]
+    sub_ids = (chunk_sel[:, None] * 16 + jnp.arange(16)[None, :]).reshape(-1)
+    keep_c = keep[sub_ids]
+    nv = min(16384, sub_ids.shape[0])
+    sel_order = jnp.argsort(~keep_c)[:nv]
+    sel = sub_ids[sel_order]
+    keep_s = keep_c[sel_order]
     b0_s, b1_s = b0[sel], b1[sel]
     t0_s, t1_s = t0[sel], t1[sel]
 

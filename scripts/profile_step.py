@@ -73,12 +73,14 @@ def main():
     )
     wl, _ = timeit("build_worklist (prepass)", jwl, depth, pose,
                    force=lambda o: readout(o.count.astype(jnp.float32)))
-    packed = np.asarray(wl.packed)
+    from housescan_tpu.ops.chunk_select import decode_worklist
+
+    rows = decode_worklist(wl)
+    cls = np.asarray([r[3] for r in rows]) if rows else np.zeros(0)
+    n = np.asarray(wl.packed).size
     count = int(np.asarray(wl.count)[0])
-    cls = (packed[:count] >> 18) & 3
-    n = packed.size
     print(
-        f"# chunks: total={n} listed={count} ({count/n:.1%}) "
+        f"# entries: total={n} listed={count} ({count/n:.1%}); chunks: "
         f"free={(cls==0).sum()} band={(cls==1).sum()} refine={(cls==3).sum()}",
         flush=True,
     )
