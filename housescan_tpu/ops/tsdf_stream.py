@@ -174,17 +174,19 @@ def _process_half(
 
     zlo = h * CHUNK_Z  # static lane offset of this half in the block
 
+    vdt = vol_out.dtype  # f32 or bf16 storage; all math is f32
+
     def t_ref(ix):
-        return vol_out[0, ix, :, zlo : zlo + CHUNK_Z]
+        return vol_out[0, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
 
     def w_ref(ix):
-        return vol_out[1, ix, :, zlo : zlo + CHUNK_Z]
+        return vol_out[1, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
 
     def t_set(ix, v):
-        vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = v
+        vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = v.astype(vdt)
 
     def w_set(ix, v):
-        vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = v
+        vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = v.astype(vdt)
 
     zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
         jnp.float32
@@ -472,7 +474,9 @@ def _process_half(
                 self.shape = (8, 8, CHUNK_Z)
 
             def __getitem__(self, ix):
-                return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z]
+                return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z].astype(
+                    jnp.float32
+                )
 
         @pl.when(may_cross)
         def _():
@@ -545,7 +549,7 @@ def tsdf_integrate_stream(
     """
     r = vol.resolution
     assert r % 8 == 0 and r % CHUNK_Z == 0, "volume must tile (8,8,128)"
-    assert vol.data.dtype == jnp.float32
+    assert vol.data.dtype in (jnp.float32, jnp.bfloat16)
     nbx = r // 8
     nzc = r // CHUNK_Z
     assert planes.shape == planes_shape(r), planes.shape

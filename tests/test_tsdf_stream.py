@@ -278,3 +278,33 @@ class TestSuperchunkMode:
             np.testing.assert_allclose(g[:, mm], w_[:, mm], atol=1e-5)
             checked += 1
         assert checked > 100
+
+
+class TestBf16Volume:
+    def test_bf16_parity_with_f32(self):
+        """bfloat16 volume storage: quantization near the zero crossing
+        scales with |tsdf|, so surface accuracy stays sub-mm; compare a
+        fused frame against the f32 path."""
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+
+        vol32 = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        out32, _ = _integrate_stream(vol32, planes, d0, p0)
+
+        vol16 = tsdf_new(128, 3.0, 0.06, dtype=jnp.bfloat16)
+        out16, _ = _integrate_stream(vol16, planes, d0, p0)
+
+        w32 = np.asarray(out32.weight)
+        w16 = np.asarray(out16.weight.astype(jnp.float32))
+        np.testing.assert_array_equal(w32, w16)  # counts <= 128: exact
+
+        t32 = np.asarray(out32.tsdf)
+        t16 = np.asarray(out16.tsdf.astype(jnp.float32))
+        m = w32 > 0
+        # near the crossing (|t| < 0.1 = 6mm band) quantization is tiny
+        near = m & (np.abs(t32) < 0.1)
+        assert near.sum() > 500
+        assert np.abs(t32[near] - t16[near]).max() < 5e-4  # < 0.03 mm
+        # globally bounded by one bf16 ulp at |t|<=1
+        assert np.abs(t32[m] - t16[m]).max() < 4.5e-3
