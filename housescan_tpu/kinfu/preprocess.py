@@ -167,7 +167,16 @@ def build_pyramid(
     sigma_depth: float = 0.03,
 ) -> FramePyramid:
     """Full preprocess: bilateral filter then per-level vertex+normal maps."""
-    d0 = bilateral_filter(raw_depth, bilateral_radius, sigma_space, sigma_depth)
+    if jax.default_backend() == "cpu":
+        d0 = bilateral_filter(raw_depth, bilateral_radius, sigma_space, sigma_depth)
+    else:
+        # One Pallas program instead of a 49-tap XLA shift-stack (each
+        # tiny op costs ~0.5-1us of issue latency on this backend).
+        from housescan_tpu.ops.preprocess_pallas import bilateral_filter_pallas
+
+        d0 = bilateral_filter_pallas(
+            raw_depth, bilateral_radius, sigma_space, sigma_depth
+        )
     depths: List[jnp.ndarray] = [d0]
     for _ in range(1, levels):
         depths.append(downsample_depth(depths[-1], sigma_depth))

@@ -308,3 +308,20 @@ class TestBf16Volume:
         assert np.abs(t32[near] - t16[near]).max() < 5e-4  # < 0.03 mm
         # globally bounded by one bf16 ulp at |t|<=1
         assert np.abs(t32[m] - t16[m]).max() < 4.5e-3
+
+
+class TestBilateralPallas:
+    def test_matches_xla_bilateral(self):
+        from housescan_tpu.kinfu.preprocess import bilateral_filter
+        from housescan_tpu.ops.preprocess_pallas import bilateral_filter_pallas
+
+        frames, _ = _scene()
+        d = jnp.asarray(frames[0])
+        # salt in some invalid pixels and a hard edge
+        d = d.at[40:50, 60:70].set(0.0)
+        d = d.at[:20, :].mul(2.0)
+        want = np.asarray(bilateral_filter(d))
+        got = np.asarray(bilateral_filter_pallas(d, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+        # exact zero preservation at invalid pixels
+        assert (got[40:50, 60:70] == 0).all()
