@@ -286,11 +286,13 @@ def _process_half(
         """Exact bilinear depth from a (nrows, WIN_U) window.
 
         Contraction order: columns first on the MXU
-        (win2 @ wc -> (2*nrows, Z)), then the nrows-row v-weight reduce
+        (window @ wc -> (nrows, Z)), then the nrows-row v-weight reduce
         on the VPU. Algebraically identical to the dense kernel's order,
-        8x less VPU work."""
-        valid_w = (window > 0.0).astype(jnp.float32)
-        win2 = jnp.concatenate([window, valid_w], axis=0)
+        8x less VPU work. When EVERY window pixel is valid (walls — the
+        common case) the bilinear weights sum to 1 exactly, so the
+        validity-denominator matmul and renormalizing divide are
+        skipped; windows containing invalid (0) pixels take the full
+        renormalized path."""
         rows_i = jax.lax.broadcasted_iota(
             jnp.int32, (nrows, CHUNK_Z), 0
         ).astype(jnp.float32)
@@ -298,36 +300,70 @@ def _process_half(
             jnp.int32, (WIN_U, CHUNK_Z), 0
         ).astype(jnp.float32)
 
-        def get_depth_tile(uf, vf):
+        def weights(uf, vf, iy):
             uw = uf / scale - u0f
             vw = vf / scale - v0f
-            d_rows = []
-            den_rows = []
-            for iy in range(8):
-                wc = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
-                )  # (WIN_U, Z)
-                t2 = jax.lax.dot_general(
-                    win2,
-                    wc,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (2*nrows, Z)
-                wr = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_i)
-                )  # (nrows, Z)
-                d_rows.append(
-                    jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
-                )
-                den_rows.append(
-                    jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
-                )
-            num = jnp.concatenate(d_rows, axis=0)
-            den = jnp.concatenate(den_rows, axis=0)
-            d = num / jnp.maximum(den, 1e-12)
-            return d, den > 1e-6
+            wc = jnp.maximum(
+                0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
+            )  # (WIN_U, Z)
+            wr = jnp.maximum(
+                0.0, 1.0 - jnp.abs(vw[iy : iy + 1, :] - rows_i)
+            )  # (nrows, Z)
+            return wc, wr
 
-        update_tiles(get_depth_tile)
+        all_valid = jnp.min(window) > 0.0
+
+        @pl.when(all_valid)
+        def _():
+            def get_depth_tile(uf, vf):
+                d_rows = []
+                for iy in range(8):
+                    wc, wr = weights(uf, vf, iy)
+                    t2 = jax.lax.dot_general(
+                        window,
+                        wc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (nrows, Z)
+                    d_rows.append(
+                        jnp.sum(t2 * wr, axis=0).reshape(1, CHUNK_Z)
+                    )
+                d = jnp.concatenate(d_rows, axis=0)
+                # Coverage: interpolation support must lie inside the
+                # window for the weights to sum to 1.
+                has = jnp.full((8, CHUNK_Z), True)
+                return d, has
+
+            update_tiles(get_depth_tile)
+
+        @pl.when(~all_valid)
+        def _():
+            valid_w = (window > 0.0).astype(jnp.float32)
+            win2 = jnp.concatenate([window, valid_w], axis=0)
+
+            def get_depth_tile(uf, vf):
+                d_rows = []
+                den_rows = []
+                for iy in range(8):
+                    wc, wr = weights(uf, vf, iy)
+                    t2 = jax.lax.dot_general(
+                        win2,
+                        wc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (2*nrows, Z)
+                    d_rows.append(
+                        jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
+                    )
+                    den_rows.append(
+                        jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
+                    )
+                num = jnp.concatenate(d_rows, axis=0)
+                den = jnp.concatenate(den_rows, axis=0)
+                d = num / jnp.maximum(den, 1e-12)
+                return d, den > 1e-6
+
+            update_tiles(get_depth_tile)
 
     def band_dispatch(lvl, v0s, u0s):
         """Window slice + band update for a (possibly traced) level and
