@@ -86,6 +86,7 @@ def _kernel(
     planes_in,  # VMEM (1, 1, super_z, N_FIELDS, NSUB_C) — aliased, not read
     vol_out,
     planes_out,
+    sign_scratch,  # VMEM (2, 8, CHUNK_Z): post-update obs min/max tiles
     super_z=2,  # chunks per work-list entry (2, or 1 when nzc is odd)
     ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
 ):
@@ -132,6 +133,7 @@ def _kernel(
                 l3,
                 vol_out,
                 planes_out,
+                sign_scratch,
                 nbx,
                 nzc,
                 ablate,
@@ -151,6 +153,7 @@ def _process_half(
     l3,
     vol_out,
     planes_out,
+    sign_scratch,
     nbx,
     nzc,
     ablate,
@@ -218,10 +221,20 @@ def _process_half(
         )
         return uf, vf, zc, in_view
 
+    ones_t = jnp.ones((8, CHUNK_Z), jnp.float32)
+
+    def _store_sign(mn_t, mx_t):
+        # Post-update observed-tsdf min/max for the crossing early-out —
+        # folded into the RMW loops (which read every voxel anyway), so
+        # the planes stage needs no second pass over the chunk.
+        sign_scratch[0, :, :] = mn_t
+        sign_scratch[1, :, :] = mx_t
+
     def update_tiles(get_depth_tile):
         """RMW over the half-chunk's 8 x-slabs."""
 
-        def body(ix, _):
+        def body(ix, carry):
+            mn_t, mx_t = carry
             uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
             d, has_depth = get_depth_tile(uf, vf)
             sdf = d - zc
@@ -234,11 +247,16 @@ def _process_half(
             wnew = jnp.minimum(wold + wadd, max_weight)
             denom = jnp.maximum(wold + wadd, 1.0)
             tnew = (told * wold + sample * wadd) / denom
-            t_set(ix, jnp.where(update, tnew, told))
+            tcur = jnp.where(update, tnew, told)
+            t_set(ix, tcur)
             w_set(ix, wnew)
-            return 0
+            obs = wnew > 0.0
+            mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
+            mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
+            return mn_t, mx_t
 
-        jax.lax.fori_loop(0, 8, body, 0)
+        mn_t, mx_t = jax.lax.fori_loop(0, 8, body, (ones_t, -ones_t))
+        _store_sign(mn_t, mx_t)
 
     if ablate == "copy":
         return
@@ -250,7 +268,8 @@ def _process_half(
         # test multiplies through by zc instead of forming u/v (VPU
         # divides are multi-pass); only the weight blend keeps one
         # divide.
-        def body(ix, _):
+        def body(ix, carry):
+            mn_t, mx_t = carry
             ix_f = ix.astype(jnp.float32)
             xw = ox + (ci * 8 + ix_f + 0.5) * vs
             yw = oy + (cj * 8 + iy_sub + 0.5) * vs
@@ -276,11 +295,16 @@ def _process_half(
             wnew = jnp.minimum(wold + wadd, max_weight)
             denom = jnp.maximum(wold + wadd, 1.0)
             tnew = (told * wold + wadd) / denom
-            t_set(ix, jnp.where(iv, tnew, told))
+            tcur = jnp.where(iv, tnew, told)
+            t_set(ix, tcur)
             w_set(ix, wnew)
-            return 0
+            obs = wnew > 0.0
+            mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
+            mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
+            return mn_t, mx_t
 
-        jax.lax.fori_loop(0, 8, body, 0)
+        mn_t, mx_t = jax.lax.fori_loop(0, 8, body, (ones_t, -ones_t))
+        _store_sign(mn_t, mx_t)
 
     def band_update(window, nrows, scale, v0f, u0f):
         """Exact bilinear depth from a (nrows, WIN_U) window.
@@ -432,6 +456,21 @@ def _process_half(
             0, 8, bbox_body, (big, -big, big, -big, False)
         )
 
+        @pl.when(~any_view)
+        def _():
+            # No voxel in view: the volume is untouched; accumulate the
+            # sign scratch from the existing values (rare).
+            def sbody(ix, carry):
+                mn_t, mx_t = carry
+                t = t_ref(ix)
+                obs = w_ref(ix) > 0.0
+                mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
+                mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
+                return mn_t, mx_t
+
+            mn_t, mx_t = jax.lax.fori_loop(0, 8, sbody, (ones_t, -ones_t))
+            _store_sign(mn_t, mx_t)
+
         @pl.when(any_view)
         def _():
             span_u = bumax - bumin
@@ -485,20 +524,11 @@ def _process_half(
 
     @pl.when(cls != CLS_NOOP)
     def _():
-        # Tile-wise accumulation (elementwise min/max across slabs) with
-        # a single final scalar reduce pair — full (8,128)->scalar
-        # reduces per slab are ~6x slower on the VPU.
-        def sign_body(ix, carry):
-            mn_t, mx_t = carry
-            t = t_ref(ix)
-            obs = w_ref(ix) > 0.0
-            mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
-            mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
-            return mn_t, mx_t
-
-        ones = jnp.ones((8, CHUNK_Z), jnp.float32)
-        mn_t, mx_t = jax.lax.fori_loop(0, 8, sign_body, (ones, -ones))
-        may_cross = (jnp.min(mn_t) < 0.0) & (jnp.max(mx_t) >= 0.0)
+        # The update loops folded the post-update observed min/max into
+        # sign_scratch; one scalar reduce pair decides the early-out.
+        may_cross = (jnp.min(sign_scratch[0, :, :]) < 0.0) & (
+            jnp.max(sign_scratch[1, :, :]) >= 0.0
+        )
 
         class _Chan:
             """Channel view of this half of the packed block for
@@ -644,6 +674,7 @@ def tsdf_integrate_stream(
             pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
             pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
         ],
+        scratch_shapes=[pltpu.VMEM((2, 8, CHUNK_Z), jnp.float32)],
     )
 
     out_data, out_planes = pl.pallas_call(
