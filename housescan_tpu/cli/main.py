@@ -67,7 +67,12 @@ def cmd_scan(args):
 
     stream = load_stream(args.stream)
     out = scan_to_room_dir(
-        stream, args.out, write_mesh=args.mesh, progress=True
+        stream,
+        args.out,
+        write_mesh=args.mesh,
+        progress=True,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     print(f"scanned {len(stream)} frames -> {out}")
 
@@ -284,6 +289,14 @@ def main(argv=None):
     p.add_argument("stream")
     p.add_argument("out")
     p.add_argument("--mesh", action="store_true")
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="N",
+        help="write a resumable scan checkpoint every N frames",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume from the room dir's scan checkpoint if present",
+    )
     p.set_defaults(fn=cmd_scan)
 
     p = sub.add_parser("detect-planes", help="RANSAC planes for a cloud")

@@ -44,8 +44,17 @@ def scan_to_room_dir(
     write_mesh: bool = False,
     use_pallas: Optional[bool] = None,
     progress: bool = False,
+    checkpoint_every: int = 0,
+    checkpoint_path: Optional[Union[str, Path]] = None,
+    resume: bool = False,
 ) -> Path:
-    """Fuse a depth stream and write the room directory. Returns out_dir."""
+    """Fuse a depth stream and write the room directory. Returns out_dir.
+
+    ``checkpoint_every=N`` writes a resumable scan checkpoint (full
+    fusion state) every N frames to ``checkpoint_path`` (default
+    ``<out_dir>/scan_checkpoint.npz``); ``resume=True`` continues from
+    it, skipping already-fused frames (kinfu/scan_checkpoint.py).
+    """
     config = config or Config()
     intr = stream.intrinsics
     tsdf_cfg = config.tsdf
@@ -53,15 +62,27 @@ def scan_to_room_dir(
     if use_pallas is None:
         use_pallas = pallas_supported(tsdf_cfg.resolution)
 
-    state = kinfu_init(
-        intr,
-        resolution=tsdf_cfg.resolution,
-        size_m=tsdf_cfg.size_m,
-        trunc=tsdf_cfg.trunc_dist,
-        init_pose=None if init_pose is None else jnp.asarray(init_pose),
-    )
+    ckpt = Path(checkpoint_path) if checkpoint_path else Path(out_dir) / "scan_checkpoint.npz"
+    start_frame = 0
+    state = None
+    if resume and ckpt.exists():
+        from housescan_tpu.kinfu.scan_checkpoint import load_scan_state
+
+        state, start_frame = load_scan_state(ckpt, intr)
+        if progress:
+            print(f"  resuming from {ckpt} at frame {start_frame}")
+    if state is None:
+        state = kinfu_init(
+            intr,
+            resolution=tsdf_cfg.resolution,
+            size_m=tsdf_cfg.size_m,
+            trunc=tsdf_cfg.trunc_dist,
+            init_pose=None if init_pose is None else jnp.asarray(init_pose),
+        )
     poses = []
     for k, frame in enumerate(stream):
+        if k < start_frame:
+            continue
         state = kinfu_step(
             state,
             jnp.asarray(frame),
@@ -74,6 +95,10 @@ def scan_to_room_dir(
             use_pallas=use_pallas,
         )
         poses.append(np.asarray(state.pose))
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            from housescan_tpu.kinfu.scan_checkpoint import save_scan_state
+
+            save_scan_state(state, k + 1, intr, ckpt)
         if progress and k % 10 == 0:
             print(f"  frame {k}/{len(stream)} icp_rmse={float(state.last_rmse)*1000:.2f}mm")
 
@@ -104,7 +129,7 @@ def scan_to_room_dir(
 
     np.savez(
         out_dir / "trajectory.npz",
-        poses=np.stack(poses),
+        poses=np.stack(poses) if poses else np.zeros((0, 4, 4), np.float32),
         icp_rmse=float(state.last_rmse),
     )
 

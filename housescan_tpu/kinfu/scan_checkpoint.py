@@ -1,0 +1,140 @@
+"""Mid-scan checkpoint/resume for the KinFu fusion state.
+
+The reference's signature resilience feature was state-preserving
+restart (ref Main.hs:1195-1260: `State` survives reload in a
+Foreign.Store slot, guarded by a Generics structural fingerprint of the
+type, ref :1207-1238). Scene checkpoints (io/checkpoint.py) cover the
+room-assembly stage; this module covers the SCAN stage: the full
+KinFuState pytree (packed TSDF volume, persistent surface planes, pose,
+model maps) round-trips through one compressed npz, so a long scan can
+resume after interruption instead of re-fusing from frame 0.
+
+The fingerprint idea maps over directly: the manifest records a
+structural hash of the state layout (field names + array shapes/dtypes
+modulo resolution) and intrinsics; a mismatched resume is refused
+instead of producing silently corrupt fusion (the same failure the
+reference's fingerprint guarded against, ref Main.hs:1213-1215).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.kinfu.pipeline import KinFuState
+from housescan_tpu.kinfu.tsdf import TsdfVolume
+
+SCAN_SCHEMA_VERSION = 1
+
+
+def _state_fingerprint(state: KinFuState) -> str:
+    parts = [f"v{SCAN_SCHEMA_VERSION}"]
+    for name in KinFuState._fields:
+        leaf = getattr(state, name)
+        if name == "volume":
+            parts.append(
+                "volume:" + ",".join(TsdfVolume._fields)
+                + f":{leaf.data.ndim}d:{leaf.data.dtype}"
+            )
+        else:
+            arr = np.asarray(leaf)
+            parts.append(f"{name}:{arr.ndim}d:{arr.dtype}")
+    return "|".join(parts)
+
+
+def save_scan_state(
+    state: KinFuState,
+    frame_index: int,
+    intr: Intrinsics,
+    path: Union[str, Path],
+) -> Path:
+    """Write a resumable scan checkpoint (one .npz)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    manifest = {
+        "schema_version": SCAN_SCHEMA_VERSION,
+        "fingerprint": _state_fingerprint(state),
+        "frame_index": int(frame_index),
+        "intrinsics": {
+            "width": intr.width,
+            "height": intr.height,
+            "fx": intr.fx,
+            "fy": intr.fy,
+            "cx": intr.cx,
+            "cy": intr.cy,
+        },
+    }
+    arrays = {
+        "volume_data": np.asarray(state.volume.data),
+        "volume_origin": np.asarray(state.volume.origin),
+        "volume_voxel_size": np.asarray(state.volume.voxel_size),
+        "volume_trunc": np.asarray(state.volume.trunc),
+        "planes": np.asarray(state.planes),
+        "pose": np.asarray(state.pose),
+        "model_vertices": np.asarray(state.model_vertices),
+        "model_normals": np.asarray(state.model_normals),
+        "model_valid": np.asarray(state.model_valid),
+        "model_pose": np.asarray(state.model_pose),
+        "velocity": np.asarray(state.velocity),
+        "state_frame_index": np.asarray(state.frame_index),
+        "last_rmse": np.asarray(state.last_rmse),
+        "last_corr": np.asarray(state.last_corr),
+    }
+    np.savez_compressed(path, manifest=json.dumps(manifest), **arrays)
+    return path
+
+
+def load_scan_state(
+    path: Union[str, Path], intr: Optional[Intrinsics] = None
+) -> Tuple[KinFuState, int]:
+    """Load a scan checkpoint; returns (state, next_frame_index).
+
+    Refuses checkpoints from a different schema version, state layout,
+    or camera intrinsics (the structural-fingerprint guard).
+    """
+    with np.load(Path(path), allow_pickle=False) as z:
+        manifest = json.loads(str(z["manifest"]))
+        if manifest["schema_version"] != SCAN_SCHEMA_VERSION:
+            raise ValueError(
+                f"scan checkpoint schema v{manifest['schema_version']} != "
+                f"supported v{SCAN_SCHEMA_VERSION}"
+            )
+        if intr is not None:
+            mi = manifest["intrinsics"]
+            got = (mi["width"], mi["height"], mi["fx"], mi["fy"], mi["cx"], mi["cy"])
+            want = (intr.width, intr.height, intr.fx, intr.fy, intr.cx, intr.cy)
+            if got != want:
+                raise ValueError(
+                    f"scan checkpoint intrinsics {got} do not match the "
+                    f"stream's {want}"
+                )
+        vol = TsdfVolume(
+            data=jnp.asarray(z["volume_data"]),
+            origin=jnp.asarray(z["volume_origin"]),
+            voxel_size=jnp.asarray(z["volume_voxel_size"]),
+            trunc=jnp.asarray(z["volume_trunc"]),
+        )
+        state = KinFuState(
+            volume=vol,
+            planes=jnp.asarray(z["planes"]),
+            pose=jnp.asarray(z["pose"]),
+            model_vertices=jnp.asarray(z["model_vertices"]),
+            model_normals=jnp.asarray(z["model_normals"]),
+            model_valid=jnp.asarray(z["model_valid"]),
+            model_pose=jnp.asarray(z["model_pose"]),
+            velocity=jnp.asarray(z["velocity"]),
+            frame_index=jnp.asarray(z["state_frame_index"]),
+            last_rmse=jnp.asarray(z["last_rmse"]),
+            last_corr=jnp.asarray(z["last_corr"]),
+        )
+        if _state_fingerprint(state) != manifest["fingerprint"]:
+            raise ValueError(
+                "scan checkpoint layout does not match the current "
+                "KinFuState schema (refusing unsafe resume)"
+            )
+        return state, int(manifest["frame_index"])

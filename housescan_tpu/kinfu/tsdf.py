@@ -363,6 +363,9 @@ def extract_surface_points(
 
     flat = crossing.reshape(-1)
     # Stable compaction: indices of the first max_points crossings.
+    # (Capacity cannot exceed the voxel count — small volumes with a
+    # generous max_points used to hit a shape mismatch here.)
+    max_points = min(max_points, flat.shape[0])
     order = jnp.argsort(~flat)  # True first, stable
     picked = order[:max_points]
     count = jnp.minimum(jnp.sum(flat), max_points)

@@ -150,3 +150,70 @@ class TestAsyncCheckpoint:
         t.join(timeout=30)
         loaded = load_scene(tmp_path / "async.housescan")
         assert set(loaded.rooms) == set(scene.rooms)
+
+
+class TestScanCheckpoint:
+    def test_save_load_round_trip_and_resume_equivalence(self, stream_file, tmp_path):
+        """A scan interrupted at frame 2 and resumed must produce the
+        same final state as an uninterrupted scan (the reference's
+        state-preserving-restart guarantee, ref Main.hs:1195-1260)."""
+        import jax.numpy as jnp
+
+        from housescan_tpu.capture.replay import load_stream
+        from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
+        from housescan_tpu.kinfu.scan_checkpoint import (
+            load_scan_state,
+            save_scan_state,
+        )
+
+        path, _, _ = stream_file
+        stream = load_stream(path)
+        intr = stream.intrinsics
+        frames = [f for f in stream]
+
+        def init():
+            return kinfu_init(intr, resolution=64, size_m=3.0, trunc=0.1)
+
+        # Uninterrupted reference run.
+        ref = init()
+        for f in frames[:4]:
+            ref = kinfu_step(ref, jnp.asarray(f), intr, iterations=(2, 2, 2))
+
+        # Interrupted at 2, checkpointed, resumed.
+        st = init()
+        for f in frames[:2]:
+            st = kinfu_step(st, jnp.asarray(f), intr, iterations=(2, 2, 2))
+        ck = tmp_path / "scan.npz"
+        save_scan_state(st, 2, intr, ck)
+        st2, next_frame = load_scan_state(ck, intr)
+        assert next_frame == 2
+        for f in frames[2:4]:
+            st2 = kinfu_step(st2, jnp.asarray(f), intr, iterations=(2, 2, 2))
+
+        np.testing.assert_allclose(
+            np.asarray(ref.pose), np.asarray(st2.pose), atol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.volume.weight), np.asarray(st2.volume.weight)
+        )
+
+    def test_mismatched_intrinsics_refused(self, stream_file, tmp_path):
+        import jax.numpy as jnp
+        import pytest
+
+        from housescan_tpu.capture.replay import load_stream
+        from housescan_tpu.kinfu.camera import Intrinsics
+        from housescan_tpu.kinfu.pipeline import kinfu_init
+        from housescan_tpu.kinfu.scan_checkpoint import (
+            load_scan_state,
+            save_scan_state,
+        )
+
+        path, _, _ = stream_file
+        stream = load_stream(path)
+        st = kinfu_init(stream.intrinsics, resolution=64, size_m=3.0, trunc=0.1)
+        ck = tmp_path / "scan.npz"
+        save_scan_state(st, 0, stream.intrinsics, ck)
+        other = Intrinsics(width=320, height=240, fx=200.0, fy=200.0, cx=159.5, cy=119.5)
+        with pytest.raises(ValueError, match="intrinsics"):
+            load_scan_state(ck, other)
