@@ -230,6 +230,20 @@ def _process_half(
         sign_scratch[0, :, :] = mn_t
         sign_scratch[1, :, :] = mx_t
 
+    def _scan_sign():
+        # Read-only sign scan for halves whose TSDF was not updated this
+        # step (NOOP, or REFINE with nothing in view).
+        def sbody(ix, carry):
+            mn_t, mx_t = carry
+            t = t_ref(ix)
+            obs = w_ref(ix) > 0.0
+            mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
+            mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
+            return mn_t, mx_t
+
+        mn_t, mx_t = jax.lax.fori_loop(0, 8, sbody, (ones_t, -ones_t))
+        _store_sign(mn_t, mx_t)
+
     def update_tiles(get_depth_tile):
         """RMW over the half-chunk's 8 x-slabs."""
 
@@ -460,16 +474,7 @@ def _process_half(
         def _():
             # No voxel in view: the volume is untouched; accumulate the
             # sign scratch from the existing values (rare).
-            def sbody(ix, carry):
-                mn_t, mx_t = carry
-                t = t_ref(ix)
-                obs = w_ref(ix) > 0.0
-                mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
-                mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
-                return mn_t, mx_t
-
-            mn_t, mx_t = jax.lax.fori_loop(0, 8, sbody, (ones_t, -ones_t))
-            _store_sign(mn_t, mx_t)
+            _scan_sign()
 
         @pl.when(any_view)
         def _():
@@ -514,59 +519,70 @@ def _process_half(
             )
             band_dispatch(lvl, v0r, u0r)
 
-    # Persistent planes: recompute for every visited (non-NOOP) chunk
-    # (its TSDF may have changed), keep everyone else's HBM values via
-    # the alias. Early out when no zero crossing can exist (no observed
-    # sign change) — most visited chunks are pure free-space carving and
-    # skip the whole moment pass.
+    # Persistent planes: recompute for EVERY half of every listed
+    # superchunk — including NOOP halves (a SKIP chunk paired with a
+    # non-SKIP z-neighbor, or the all-NOOP count==0 entry). A NOOP
+    # half's TSDF is unchanged, so recomputation reproduces its prior
+    # planes bit-exactly; crucially every active step then writes its
+    # FULL planes_out block, so the flush never leaks a previous grid
+    # step's VMEM contents into another chunk's persistent planes
+    # (planes_in has a constant index_map and is never read — the alias
+    # only preserves UN-listed chunks). Early out when no zero crossing
+    # can exist (no observed sign change) — most visited chunks are pure
+    # free-space carving and skip the whole moment pass.
     if ablate in ("no_planes",):
         return
 
-    @pl.when(cls != CLS_NOOP)
+    @pl.when(cls == CLS_NOOP)
     def _():
-        # The update loops folded the post-update observed min/max into
-        # sign_scratch; one scalar reduce pair decides the early-out.
-        may_cross = (jnp.min(sign_scratch[0, :, :]) < 0.0) & (
-            jnp.max(sign_scratch[1, :, :]) >= 0.0
+        # No update loop ran for this half: fill the sign scratch from
+        # the (unchanged) stored values.
+        _scan_sign()
+
+    # The update loops (or the NOOP scan above) folded the post-update
+    # observed min/max into sign_scratch; one scalar reduce pair decides
+    # the early-out.
+    may_cross = (jnp.min(sign_scratch[0, :, :]) < 0.0) & (
+        jnp.max(sign_scratch[1, :, :]) >= 0.0
+    )
+
+    class _Chan:
+        """Channel view of this half of the packed block for
+        plane_fields_for_block (needs ``ref[ix] -> (8, nz)`` reads
+        and ``.shape[2]``)."""
+
+        def __init__(self, c):
+            self.c = c
+            self.shape = (8, 8, CHUNK_Z)
+
+        def __getitem__(self, ix):
+            return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z].astype(
+                jnp.float32
+            )
+
+    @pl.when(may_cross)
+    def _():
+        fields = plane_fields_for_block(
+            _Chan(0),
+            _Chan(1),
+            ci,
+            cj,
+            vs=vs,
+            ox=ox,
+            oy=oy,
+            oz=oz,
+            nbx=nbx,
+            min_count=6.0,
+            k=ckc,
+            nzc=nzc,
         )
+        planes_out[0, 0, h, :, :] = fields
 
-        class _Chan:
-            """Channel view of this half of the packed block for
-            plane_fields_for_block (needs ``ref[ix] -> (8, nz)`` reads
-            and ``.shape[2]``)."""
-
-            def __init__(self, c):
-                self.c = c
-                self.shape = (8, 8, CHUNK_Z)
-
-            def __getitem__(self, ix):
-                return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z].astype(
-                    jnp.float32
-                )
-
-        @pl.when(may_cross)
-        def _():
-            fields = plane_fields_for_block(
-                _Chan(0),
-                _Chan(1),
-                ci,
-                cj,
-                vs=vs,
-                ox=ox,
-                oy=oy,
-                oz=oz,
-                nbx=nbx,
-                min_count=6.0,
-                k=ckc,
-                nzc=nzc,
-            )
-            planes_out[0, 0, h, :, :] = fields
-
-        @pl.when(~may_cross)
-        def _():
-            planes_out[0, 0, h, :, :] = jnp.zeros(
-                (N_FIELDS, NSUB_C), jnp.float32
-            )
+    @pl.when(~may_cross)
+    def _():
+        planes_out[0, 0, h, :, :] = jnp.zeros(
+            (N_FIELDS, NSUB_C), jnp.float32
+        )
 
 
 def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:

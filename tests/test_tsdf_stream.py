@@ -280,6 +280,64 @@ class TestSuperchunkMode:
         assert checked > 100
 
 
+class TestNoopHalfPlanes:
+    def test_noop_half_rewrites_full_planes_block(self):
+        """A SKIP chunk paired with a non-SKIP z-neighbor (NOOP half)
+        must have its planes slot REWRITTEN by the kernel — recomputed
+        from its unchanged TSDF — never left to whatever the VMEM output
+        window held from a previous grid step. Poison the persistent
+        planes at every NOOP half and check the kernel restores them to
+        the clean run's values."""
+        frames, poses = _scene(n=2, yaw=0.6)
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        d1, p1 = jnp.asarray(frames[1]), jnp.asarray(poses[1])
+        vol = tsdf_new(256, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(256), jnp.float32)
+        vol, planes = _integrate_stream(vol, planes, d0, p0)
+
+        wl = build_worklist(d1, p1, INTR, 256, vol.voxel_size, vol.origin, vol.trunc)
+        decoded = {(ci, cj, ck) for ci, cj, ck, *_ in decode_worklist(wl)}
+        noop_halves = []
+        for ci, cj, ck in decoded:
+            other = (ci, cj, ck ^ 1)
+            if other not in decoded:
+                noop_halves.append(other)
+        assert noop_halves, "scene produced no NOOP halves; increase yaw"
+
+        clean_vol, clean_planes = _integrate_stream(vol, planes, d1, p1)
+
+        poison = 12345.0
+        poisoned = np.asarray(planes).copy()
+        for ci, cj, ck in noop_halves:
+            poisoned[ci, cj, ck] = poison
+        _, got = _integrate_stream(vol, jnp.asarray(poisoned), d1, p1)
+
+        got = np.asarray(got)
+        clean = np.asarray(clean_planes)
+        for ci, cj, ck in noop_halves:
+            assert not (got[ci, cj, ck] == poison).any(), (ci, cj, ck)
+            np.testing.assert_allclose(got[ci, cj, ck], clean[ci, cj, ck], atol=1e-5)
+
+    def test_empty_frame_writes_planes_of_origin_chunk(self):
+        """An all-invalid depth frame yields count==0 -> one all-NOOP
+        entry on superchunk (0,0,0). The kernel must still write that
+        block's planes (recomputed, i.e. unchanged) and leave the volume
+        bit-identical."""
+        frames, poses = _scene()
+        d0, p0 = jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        vol = tsdf_new(128, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(128), jnp.float32)
+        vol, planes = _integrate_stream(vol, planes, d0, p0)
+
+        empty = jnp.zeros_like(d0)
+        out_vol, out_planes = _integrate_stream(vol, planes, empty, p0)
+        np.testing.assert_array_equal(np.asarray(out_vol.tsdf), np.asarray(vol.tsdf))
+        np.testing.assert_array_equal(np.asarray(out_vol.weight), np.asarray(vol.weight))
+        np.testing.assert_allclose(
+            np.asarray(out_planes), np.asarray(planes), atol=1e-5
+        )
+
+
 class TestBf16Volume:
     def test_bf16_parity_with_f32(self):
         """bfloat16 volume storage: quantization near the zero crossing
