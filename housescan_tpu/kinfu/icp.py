@@ -108,7 +108,12 @@ def _solve_increment(
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(a))), 1e-12)
     a_d = a + damping * scale * jnp.eye(6, dtype=a.dtype)
     x = jnp.linalg.solve(a_d, b)
-    ok = jnp.all(jnp.isfinite(x))
+    norm0 = jnp.linalg.norm(x)
+    # >1e3 rad/m pre-clamp only arises from a degenerate system (e.g. an
+    # all-zero A with nonzero b solves to a finite-but-huge step through
+    # the damping floor); keep the pose rather than stepping max_step in
+    # a garbage direction. Mirrored in ops/solve6_pallas.py.
+    ok = jnp.all(jnp.isfinite(x)) & (norm0 <= 1e3)
     x = jnp.where(ok, x, 0.0)
     norm = jnp.linalg.norm(x)
     x = jnp.where(norm > max_step, x * (max_step / jnp.maximum(norm, 1e-12)), x)

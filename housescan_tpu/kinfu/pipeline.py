@@ -41,9 +41,6 @@ class KinFuState(NamedTuple):
     model_normals: jnp.ndarray  # (H, W, 3)
     model_valid: jnp.ndarray  # (H, W)
     model_pose: jnp.ndarray  # (4, 4)
-    # Frame-to-frame velocity V with M_new = V @ M_old (left compose in
-    # the row-vector convention); used only to seed the next ICP.
-    velocity: jnp.ndarray  # (4, 4)
     frame_index: jnp.ndarray  # () int32
     last_rmse: jnp.ndarray  # () f32 ICP rmse of the last step
     last_corr: jnp.ndarray  # () int32 ICP correspondences of the last step
@@ -81,7 +78,6 @@ def kinfu_init(
         model_normals=jnp.zeros((h, w, 3), jnp.float32),
         model_valid=jnp.zeros((h, w), bool),
         model_pose=jnp.array(pose, jnp.float32, copy=True),
-        velocity=jnp.eye(4, dtype=jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
         last_rmse=jnp.asarray(0.0, jnp.float32),
         last_corr=jnp.asarray(0, jnp.int32),
@@ -202,8 +198,6 @@ def kinfu_step(
             volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
         )
 
-    velocity = new_pose @ inverse_rigid(state.pose)
-
     return KinFuState(
         volume=volume,
         planes=planes,
@@ -212,7 +206,6 @@ def kinfu_step(
         model_normals=model.normals,
         model_valid=model.valid,
         model_pose=new_pose,
-        velocity=jnp.where(is_first, jnp.eye(4, dtype=jnp.float32), velocity),
         frame_index=state.frame_index + 1,
         last_rmse=jnp.where(is_first, 0.0, icp.rmse),
         last_corr=jnp.where(is_first, 0, icp.n_corr),

@@ -65,10 +65,20 @@ def scan_to_room_dir(
     ckpt = Path(checkpoint_path) if checkpoint_path else Path(out_dir) / "scan_checkpoint.npz"
     start_frame = 0
     state = None
+    poses = []
     if resume and ckpt.exists():
         from housescan_tpu.kinfu.scan_checkpoint import load_scan_state
 
-        state, start_frame = load_scan_state(ckpt, intr)
+        state, start_frame, trajectory = load_scan_state(ckpt, intr)
+        # Restore the pre-checkpoint poses so trajectory.npz row k is
+        # frame k even after a resume.
+        poses = list(trajectory)
+        if len(poses) != start_frame:
+            raise ValueError(
+                f"scan checkpoint stores {len(poses)} poses but resumes at "
+                f"frame {start_frame}; refusing to write a misaligned "
+                "trajectory (v1 checkpoints have no trajectory - rescan)"
+            )
         if progress:
             print(f"  resuming from {ckpt} at frame {start_frame}")
     if state is None:
@@ -79,7 +89,6 @@ def scan_to_room_dir(
             trunc=tsdf_cfg.trunc_dist,
             init_pose=None if init_pose is None else jnp.asarray(init_pose),
         )
-    poses = []
     for k, frame in enumerate(stream):
         if k < start_frame:
             continue
@@ -98,7 +107,7 @@ def scan_to_room_dir(
         if checkpoint_every and (k + 1) % checkpoint_every == 0:
             from housescan_tpu.kinfu.scan_checkpoint import save_scan_state
 
-            save_scan_state(state, k + 1, intr, ckpt)
+            save_scan_state(state, k + 1, intr, ckpt, trajectory=np.stack(poses))
         if progress and k % 10 == 0:
             print(f"  frame {k}/{len(stream)} icp_rmse={float(state.last_rmse)*1000:.2f}mm")
 

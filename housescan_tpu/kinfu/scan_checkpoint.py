@@ -29,7 +29,10 @@ from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.pipeline import KinFuState
 from housescan_tpu.kinfu.tsdf import TsdfVolume
 
-SCAN_SCHEMA_VERSION = 1
+# v1: KinFuState with a velocity field, no trajectory.
+# v2: velocity dropped; accumulated per-frame poses stored so a resumed
+#     scan writes the same trajectory.npz as an uninterrupted one.
+SCAN_SCHEMA_VERSION = 2
 
 
 def _state_fingerprint(state: KinFuState) -> str:
@@ -52,8 +55,14 @@ def save_scan_state(
     frame_index: int,
     intr: Intrinsics,
     path: Union[str, Path],
+    trajectory: Optional[np.ndarray] = None,
 ) -> Path:
-    """Write a resumable scan checkpoint (one .npz)."""
+    """Write a resumable scan checkpoint (one .npz).
+
+    ``trajectory`` is the (frame_index, 4, 4) stack of per-frame poses
+    accumulated so far; persisting it keeps a resumed scan's
+    trajectory.npz identical to an uninterrupted one (frame k at row k).
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -80,10 +89,14 @@ def save_scan_state(
         "model_normals": np.asarray(state.model_normals),
         "model_valid": np.asarray(state.model_valid),
         "model_pose": np.asarray(state.model_pose),
-        "velocity": np.asarray(state.velocity),
         "state_frame_index": np.asarray(state.frame_index),
         "last_rmse": np.asarray(state.last_rmse),
         "last_corr": np.asarray(state.last_corr),
+        "trajectory": (
+            np.zeros((0, 4, 4), np.float32)
+            if trajectory is None
+            else np.asarray(trajectory, np.float32)
+        ),
     }
     np.savez_compressed(path, manifest=json.dumps(manifest), **arrays)
     return path
@@ -91,15 +104,20 @@ def save_scan_state(
 
 def load_scan_state(
     path: Union[str, Path], intr: Optional[Intrinsics] = None
-) -> Tuple[KinFuState, int]:
-    """Load a scan checkpoint; returns (state, next_frame_index).
+) -> Tuple[KinFuState, int, np.ndarray]:
+    """Load a scan checkpoint; returns (state, next_frame_index,
+    trajectory) where trajectory is the (next_frame_index, 4, 4) pose
+    stack accumulated before the checkpoint (empty for migrated v1
+    checkpoints, which did not store it).
 
     Refuses checkpoints from a different schema version, state layout,
-    or camera intrinsics (the structural-fingerprint guard).
+    or camera intrinsics (the structural-fingerprint guard). v1
+    checkpoints migrate in place (their extra velocity field is
+    dropped).
     """
     with np.load(Path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        if manifest["schema_version"] != SCAN_SCHEMA_VERSION:
+        if manifest["schema_version"] not in (1, SCAN_SCHEMA_VERSION):
             raise ValueError(
                 f"scan checkpoint schema v{manifest['schema_version']} != "
                 f"supported v{SCAN_SCHEMA_VERSION}"
@@ -127,14 +145,22 @@ def load_scan_state(
             model_normals=jnp.asarray(z["model_normals"]),
             model_valid=jnp.asarray(z["model_valid"]),
             model_pose=jnp.asarray(z["model_pose"]),
-            velocity=jnp.asarray(z["velocity"]),
             frame_index=jnp.asarray(z["state_frame_index"]),
             last_rmse=jnp.asarray(z["last_rmse"]),
             last_corr=jnp.asarray(z["last_corr"]),
         )
-        if _state_fingerprint(state) != manifest["fingerprint"]:
-            raise ValueError(
-                "scan checkpoint layout does not match the current "
-                "KinFuState schema (refusing unsafe resume)"
-            )
-        return state, int(manifest["frame_index"])
+        if manifest["schema_version"] == SCAN_SCHEMA_VERSION:
+            if _state_fingerprint(state) != manifest["fingerprint"]:
+                raise ValueError(
+                    "scan checkpoint layout does not match the current "
+                    "KinFuState schema (refusing unsafe resume)"
+                )
+            trajectory = np.asarray(z["trajectory"], np.float32)
+        else:
+            # v1 migration: same arrays plus a velocity field we drop;
+            # the stored fingerprint names the old layout, so validate
+            # structurally by array presence instead. No trajectory.
+            if "velocity" not in z.files:
+                raise ValueError("v1 scan checkpoint missing velocity field")
+            trajectory = np.zeros((0, 4, 4), np.float32)
+        return state, int(manifest["frame_index"]), trajectory

@@ -145,20 +145,32 @@ def build_tile_candidates(
         n_tiles,  # sentinel: sorts last
     ).reshape(-1)
     pair_block = jnp.broadcast_to(sel[:, None], (nv, MAX_PAIRS)).reshape(-1)
+    # Per-tile truncation at MAX_CT must drop FARTHEST-first: fold an
+    # 8-bit quantized camera distance into the sort key (tile-major,
+    # then distance), so a candidate-dense tile keeps its nearest
+    # surfaces instead of an arbitrary block-id prefix.
+    db = jnp.clip(z[sel] * (255.0 / 20.0), 0.0, 255.0).astype(jnp.int32)
+    pair_key = pair_tile * 256 + jnp.broadcast_to(
+        db[:, None], (nv, MAX_PAIRS)
+    ).reshape(-1)
 
     # Compact the real pairs first (a bool argsort is ~4x cheaper than
     # an int sort at this size), then sort ONLY those, carrying the
     # payload (cheaper on TPU than argsort + gather). Per-tile starts
     # come from a histogram instead of searchsorted (XLA lowers
     # searchsorted over n_pairs keys to an n_tiles x n_pairs
-    # broadcast-compare).
+    # broadcast-compare). NOTE: pairs beyond MAX_REAL_PAIRS (65536) are
+    # dropped in emission order, not by distance — reaching that cap
+    # needs >4096 camera-facing sub-block planes visible at once
+    # (tests/test_pallas_ops.py bounds a dense scene at ~25% of it).
     is_real = pair_tile < n_tiles
     cap = min(MAX_REAL_PAIRS, pair_tile.shape[0])
     first_real = jnp.argsort(~is_real)[:cap]
     pair_tile = pair_tile[first_real]
+    pair_key = pair_key[first_real]
     pair_block = pair_block[first_real]
-    sorted_tiles, sorted_blocks = jax.lax.sort(
-        (pair_tile, pair_block.astype(jnp.int32)), num_keys=1
+    sorted_keys, sorted_blocks = jax.lax.sort(
+        (pair_key, pair_block.astype(jnp.int32)), num_keys=1
     )
     counts = jnp.sum(
         pair_tile[:, None] == jnp.arange(n_tiles)[None, :], axis=0
@@ -167,7 +179,7 @@ def build_tile_candidates(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
     slot = start[:, None] + jnp.arange(MAX_CT)[None, :]
-    slot_c = jnp.clip(slot, 0, sorted_tiles.shape[0] - 1)
+    slot_c = jnp.clip(slot, 0, sorted_keys.shape[0] - 1)
     slot_ok = jnp.arange(MAX_CT)[None, :] < counts[:, None]
     slot_block = sorted_blocks[slot_c]
 

@@ -56,14 +56,20 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
     scale = jnp.maximum(scale, 1e-12)
     lam = damping * scale
 
-    # Unrolled Cholesky of A + lam*I.
+    # Unrolled Cholesky of A + lam*I. The 1e-30 clamp keeps the sqrt
+    # finite, so failure must be flagged EXPLICITLY: a non-positive
+    # pre-clamp diagonal means the damped system is not SPD (NaNs or a
+    # broken normal matrix) and the step is garbage.
     L = [[None] * 6 for _ in range(6)]
+    ok = None
     for i in range(6):
         for j in range(i + 1):
             s = a(i, j) + (lam if i == j else 0.0)
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             if i == j:
+                pos = s > 0.0
+                ok = pos if ok is None else (ok & pos)
                 L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
             else:
                 L[i][j] = s / L[j][j]
@@ -80,8 +86,7 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
 
-    ok = jnp.isfinite(x[0])
-    for i in range(1, 6):
+    for i in range(6):
         ok = ok & jnp.isfinite(x[i])
     x = [jnp.where(ok, xi, 0.0) for xi in x]
 
@@ -89,6 +94,13 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
     for i in range(1, 6):
         nrm2 = nrm2 + x[i] * x[i]
     nrm = jnp.sqrt(jnp.maximum(nrm2, 1e-24))
+    # Sanity bound (matches icp._solve_increment): a pre-clamp step of
+    # >1e3 rad/m only arises from a degenerate system (real GN steps are
+    # bounded by max_step-scale physics) — keep the pose instead of
+    # taking a max_step-clamped step in a garbage direction.
+    ok = ok & (nrm <= 1e3)
+    x = [jnp.where(ok, xi, 0.0) for xi in x]
+    nrm = jnp.where(ok, nrm, 0.0)
     fac = jnp.where(nrm > max_step, max_step / nrm, 1.0)
     x = [xi * fac for xi in x]
 

@@ -27,7 +27,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.icp import (
@@ -153,7 +153,7 @@ def make_sharded_step(
         mesh=mesh,
         in_specs=(P(axis, None, None), P(axis, None, None), P(), P(), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def raycast_shards(tsdf, weight, origin, voxel_size, trunc, pose):
         ext_t, ext_w = _halo_extend_x(tsdf, weight, axis, halo)

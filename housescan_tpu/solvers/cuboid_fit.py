@@ -154,10 +154,15 @@ def fit_cuboid_from_center(
 
 
 def fit_cuboid_from_center_first(
-    points: jnp.ndarray, tol: float = 1e-8, max_iter: int = 2000
+    points: jnp.ndarray,
+    tol: float = 1e-8,
+    max_iter: int = 2000,
+    polish_bfgs: bool = False,
 ) -> CuboidFit:
     """Two-stage production fit: pinned-center first, then all 10 free
-    (ref FitCuboidBFGS.hs:188-201)."""
+    (ref FitCuboidBFGS.hs:188-201). ``polish_bfgs=True`` adds a
+    gradient-based BFGS polish of the simplex solution (kept only when it
+    improves the nearest-corner objective)."""
     stage1 = fit_cuboid_from_center(points, tol=tol, max_iter=max_iter)
     a = guess_dims(points)[0]
     dtype = points.dtype
@@ -171,7 +176,11 @@ def fit_cuboid_from_center_first(
     res = nelder_mead(
         partial(errfun_closest, points), stage1.params, steps, tol=tol, max_iter=max_iter
     )
-    return CuboidFit(res.x, stage1.n_steps + res.n_iter, res.fun)
+    fit = CuboidFit(res.x, stage1.n_steps + res.n_iter, res.fun)
+    if polish_bfgs:
+        x, err = refine_bfgs(points, fit.params)
+        fit = CuboidFit(x, fit.n_steps, err)
+    return fit
 
 
 def fit_cuboid(points: jnp.ndarray, tol: float = 1e-8, max_iter: int = 2000) -> CuboidFit:
@@ -219,6 +228,12 @@ def refine_bfgs(points: jnp.ndarray, params: jnp.ndarray) -> Tuple[jnp.ndarray, 
     from jax.scipy.optimize import minimize
 
     res = minimize(smooth_obj, params, method="BFGS", options={"maxiter": 200})
-    better = res.fun < errfun_closest(points, params)
+    # Accept on the HARD nearest-corner objective (the softmin value is a
+    # lower bound of it, so comparing across the two would accept
+    # regressions) and guard against a diverged line search.
+    cand_err = errfun_closest(points, res.x)
+    better = jnp.all(jnp.isfinite(res.x)) & (
+        cand_err < errfun_closest(points, params)
+    )
     x = jnp.where(better, res.x, params)
     return x, errfun_closest(points, x)

@@ -54,7 +54,13 @@ def render_scene(
         ok = z > 0.05
         u = intr.fx * cam[:, 0] / np.maximum(z, 1e-9) + intr.cx
         v = intr.fy * cam[:, 1] / np.maximum(z, 1e-9) + intr.cy
-        ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
+        # NaN/inf points (e.g. invalid-marked cloud rows) must not reach
+        # the int cast: comparisons with NaN are already False, but the
+        # cast itself would warn and produce garbage indices.
+        ok &= np.isfinite(u) & np.isfinite(v)
+        u = np.where(ok, u, 0.0)
+        v = np.where(ok, v, 0.0)
+        z = np.where(np.isfinite(z), z, np.inf)
         return u.astype(np.int32), v.astype(np.int32), z.astype(np.float32), ok
 
     def splat(u, v, z, ok, color, radius):

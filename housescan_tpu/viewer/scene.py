@@ -92,8 +92,17 @@ def pick(
                 if t <= 0:
                     continue
                 dist = np.linalg.norm(rel - t * direction)
-                if dist < corner_radius and t < best.t:
-                    best = PickResult(kind, cid, room.room_id, float(t), np.asarray(c))
+                if dist < corner_radius:
+                    # Ray-sphere SURFACE depth: the drawn pick sphere
+                    # sits in front of coincident cloud/plane geometry
+                    # (the reference's sphere draw order, Main.hs:672),
+                    # so a corner must win against surface points at the
+                    # same world position.
+                    t_hit = t - float(np.sqrt(corner_radius**2 - dist**2))
+                    if 0 < t_hit < best.t:
+                        best = PickResult(
+                            kind, cid, room.room_id, float(t_hit), np.asarray(c)
+                        )
 
         # plane polygons
         for p in room.planes:

@@ -185,7 +185,7 @@ class TestScanCheckpoint:
             st = kinfu_step(st, jnp.asarray(f), intr, iterations=(2, 2, 2))
         ck = tmp_path / "scan.npz"
         save_scan_state(st, 2, intr, ck)
-        st2, next_frame = load_scan_state(ck, intr)
+        st2, next_frame, _ = load_scan_state(ck, intr)
         assert next_frame == 2
         for f in frames[2:4]:
             st2 = kinfu_step(st2, jnp.asarray(f), intr, iterations=(2, 2, 2))
@@ -196,6 +196,35 @@ class TestScanCheckpoint:
         np.testing.assert_array_equal(
             np.asarray(ref.volume.weight), np.asarray(st2.volume.weight)
         )
+
+    def test_resumed_scan_writes_full_trajectory(self, stream_file, tmp_path):
+        """trajectory.npz from an interrupted+resumed scan must be
+        row-for-row identical to an uninterrupted scan's: the checkpoint
+        persists the accumulated poses (row k = frame k)."""
+        import dataclasses
+
+        from housescan_tpu.config import Config, TsdfConfig
+        from housescan_tpu.kinfu.scan import scan_to_room_dir
+
+        path, _, poses = stream_file
+        stream = load_stream(path)
+        cfg = Config(tsdf=TsdfConfig(resolution=64, size_m=3.0, trunc_dist=0.1))
+        kw = dict(
+            config=cfg, init_pose=poses[0], use_pallas=False, downsample_to=4096
+        )
+
+        ref = scan_to_room_dir(stream, tmp_path / "full", **kw)
+        ref_traj = np.load(ref / "trajectory.npz")["poses"]
+        assert len(ref_traj) == len(stream)
+
+        # Interrupt after 3 frames (checkpoint lands at frame 2), then
+        # resume over the full stream.
+        head = dataclasses.replace(stream, frames=stream.frames[:3])
+        out = tmp_path / "resumed"
+        scan_to_room_dir(head, out, checkpoint_every=2, **kw)
+        scan_to_room_dir(stream, out, checkpoint_every=2, resume=True, **kw)
+        got_traj = np.load(out / "trajectory.npz")["poses"]
+        np.testing.assert_allclose(got_traj, ref_traj, atol=1e-6)
 
     def test_mismatched_intrinsics_refused(self, stream_file, tmp_path):
         import jax.numpy as jnp

@@ -111,6 +111,48 @@ class TestPlaneRaycast:
         norms = np.linalg.norm(n, axis=2)
         assert np.allclose(norms[valid], 1.0, atol=1e-4)
 
+    def test_tile_overflow_keeps_nearest_candidates(self):
+        """When a ray tile's candidate count exceeds MAX_CT, the
+        truncation must drop FARTHEST candidates: the center ray's
+        nearest supported plane has to survive and win. (Pre-fix the
+        drop order was block-id-major, so a dense scene could discard
+        the nearest surface entirely.)"""
+        import jax.numpy as jnp
+
+        from housescan_tpu.ops.raycast_tiles import MAX_CT, raycast_tiles_maps
+        from housescan_tpu.kinfu.tsdf import tsdf_new
+
+        vol = tsdf_new(128, 3.0, 0.06)
+        vs = 3.0 / 128
+        nbx, nzc, nsub_c = 16, 1, 16
+        P = np.zeros((nbx, nbx, nzc, 16, nsub_c), np.float32)
+        bi, bj, bs = np.meshgrid(
+            np.arange(nbx), np.arange(nbx), np.arange(nsub_c), indexing="ij"
+        )
+        xc = -1.5 + (bi * 8 + 4) * vs
+        yc = -1.5 + (bj * 8 + 4) * vs
+        zc = -1.5 + (bs * 8 + 4) * vs
+        P[:, :, 0, 2, :] = -1.0  # normal (0, 0, -1): faces the camera
+        P[:, :, 0, 3, :] = -zc  # d = n . x on the plane
+        P[:, :, 0, 4, :] = 1.0  # every sub-block valid -> tiles overflow
+        P[:, :, 0, 6, :] = bi * 256 + bj * 16 + bs
+        P[:, :, 0, 7, :] = 0.3  # support radius
+        P[:, :, 0, 8, :] = xc
+        P[:, :, 0, 9, :] = yc
+        P[:, :, 0, 10, :] = zc
+
+        pose = np.eye(4, dtype=np.float32)
+        pose[3, 2] = -3.0  # camera 3m behind the volume, looking +z
+        outs = raycast_tiles_maps(
+            jnp.asarray(P), jnp.asarray(pose), INTR, vol, interpret=True
+        )
+        depth = np.asarray(outs[0])
+        # 4096 valid sub-blocks >> MAX_CT per tile
+        assert nbx * nbx * nsub_c > MAX_CT
+        want = 3.0 + float(zc[0, 0, 0])  # nearest plane along the center ray
+        got = depth[60, 80]
+        assert abs(got - want) < 1e-3, (got, want)
+
     def test_raycast_depth_quality(self):
         import jax.numpy as jnp
 

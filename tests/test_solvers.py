@@ -173,6 +173,24 @@ class TestFitCuboid:
         )
         assert np.all(np.sqrt(d) < 0.05)
 
+    def test_bfgs_polish_never_worse_and_improves_noisy_fit(self, rng):
+        """The gradient polish must keep the nearest-corner objective
+        monotone: never worse than the simplex solution, and finite even
+        from a rough start."""
+        from housescan_tpu.solvers.cuboid_fit import errfun_closest, refine_bfgs
+
+        corners, dims = make_cuboid(rng, dims=[3, 4, 5])
+        noisy = corners + 0.02 * rng.normal(size=corners.shape).astype(np.float32)
+        plain = fit_cuboid_from_center_first(noisy)
+        polished = fit_cuboid_from_center_first(noisy, polish_bfgs=True)
+        assert float(polished.error) <= float(plain.error) + 1e-7
+        assert np.all(np.isfinite(np.asarray(polished.params)))
+
+        # polishing a deliberately-perturbed solution improves it
+        rough = plain.params + 0.01
+        x, err = refine_bfgs(noisy, rough)
+        assert float(err) <= float(errfun_closest(noisy, rough)) + 1e-7
+
     def test_batch_fit_matches_single(self):
         rngs = [np.random.default_rng(s) for s in (10, 11, 12, 13)]
         batch = jnp.stack([make_cuboid(r)[0] for r in rngs])

@@ -235,13 +235,27 @@ class TestSolveTwistPallas:
             np.testing.assert_allclose(got, want, atol=2e-5)
 
     def test_degenerate_system_keeps_pose(self):
+        """A singular/garbage system (zero A, nonzero b; or NaNs) must
+        leave the pose EXACTLY unchanged — in both the Pallas kernel and
+        the jnp fallback — not take a max_step-clamped step in a garbage
+        direction."""
+        from housescan_tpu.kinfu.icp import _solve_increment
         from housescan_tpu.ops.solve6_pallas import solve_twist_compose
 
-        a = jnp.zeros((6, 6))
-        b = jnp.ones((6,))
-        pose = jnp.eye(4)
-        got, _ = solve_twist_compose(pose, a, b, interpret=True)
-        assert np.all(np.isfinite(np.asarray(got)))
+        pose = np.eye(4, dtype=np.float32)
+        pose[3, :3] = [0.3, -0.1, 1.7]
+        cases = [
+            (jnp.zeros((6, 6)), jnp.ones((6,))),
+            (jnp.full((6, 6), jnp.nan), jnp.ones((6,))),
+            (jnp.eye(6), jnp.full((6,), jnp.nan)),
+        ]
+        for a, b in cases:
+            got, norm = solve_twist_compose(jnp.asarray(pose), a, b, interpret=True)
+            np.testing.assert_array_equal(np.asarray(got), pose)
+            assert float(norm) == 0.0
+            x, ok = _solve_increment(a, b)
+            assert not bool(ok)
+            np.testing.assert_array_equal(np.asarray(x), np.zeros(6))
 
 
 class TestSuperchunkMode:

@@ -40,13 +40,18 @@ class TestPicking:
 
     def test_corner_pick_overrides_plane(self, scene_with_room):
         scene, room = scene_with_room
-        # project a known corner into the camera and pick there
-        corner = next(c for _, c in room.corners if c[2] > 0)
-        u = INTR.fx * corner[0] / corner[2] + INTR.cx
-        v = INTR.fy * corner[1] / corner[2] + INTR.cy
-        if not (0 <= u < INTR.width and 0 <= v < INTR.height):
-            pytest.skip("corner outside the test camera view")
-        r = pick(scene, _camera_inside(), INTR, u=u, v=v, corner_radius=0.1)
+        # Aim the camera straight at a known corner (the identity camera's
+        # narrow FOV sees no corner of this room), so the corner projects
+        # to the exact image center and the assertion always runs.
+        corner = np.asarray(next(c for _, c in room.corners if c[2] > 0), np.float64)
+        fwd = corner / np.linalg.norm(corner)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = np.stack([right, up2, fwd]).astype(np.float32)
+        r = pick(scene, pose, INTR, u=INTR.cx, v=INTR.cy, corner_radius=0.1)
         assert r.kind == "corner"
 
     def test_visible_objects_sweep(self, scene_with_room):
