@@ -8,12 +8,16 @@ a checkpoint file instead of a keypress over IORef state.
     detect-planes   cloud -> planes.txt + hulls           (was: external PCL tool)
     add-room        load a room dir into the scene        (was: '1'/'/' setups)
     suggest         corner suggestion (+auto-adopt 8)     (was: 'g')
+    corner          corner from 3 planes                  (was: 'c')
+    accept-corner   adopt one suggested corner            (was: click)
+    plane-from-points  fit plane to picked points         (was: 'P')
     fit-cuboid      cuboid fit, replace geometry          (was: 'f')
     auto-align      align floor plane to +Y               (was: 'a')
     connect         connect two walls                     (was: 'w'/'W')
     disconnect      disconnect two walls                  (was: ctrl-W)
     optimize        global room-position least squares    (was: 'o')
     move / move-wall / swap / remove-ceiling              (was: arrows, menu)
+    duplicate-plane / delete-plane                        (was: 'D', delete)
     export          .xf files + pcl command lines + placed full-res models
                                                           (was: 'e' + external tools)
     save / load     checkpoint with migrations            (was: 's'/'l')
@@ -220,6 +224,117 @@ def cmd_move(args):
     print(f"moved room {room.room_id}")
 
 
+def cmd_swap(args):
+    from housescan_tpu.rooms.manip import swap_room_positions
+
+    scene = _load_scene(args.scene)
+    for rid in (args.room1, args.room2):
+        if rid not in scene.rooms:
+            raise SystemExit(f"no room {rid}; have {sorted(scene.rooms)}")
+    swap_room_positions(scene, args.room1, args.room2)
+    _save_scene(scene, args.scene)
+    print(f"swapped rooms {args.room1} and {args.room2}")
+
+
+def cmd_duplicate_plane(args):
+    from housescan_tpu.rooms.manip import duplicate_plane
+
+    scene = _load_scene(args.scene)
+    try:
+        dup = duplicate_plane(scene, args.plane)
+    except KeyError as e:
+        raise SystemExit(str(e))
+    _save_scene(scene, args.scene)
+    print(f"duplicated plane {args.plane} -> {dup.plane_id}")
+
+
+def cmd_move_wall(args):
+    from housescan_tpu.rooms.manip import move_wall
+
+    scene = _load_scene(args.scene)
+    direction = np.array([args.dx, args.dy, args.dz], np.float32)
+    if not np.linalg.norm(direction):
+        raise SystemExit("direction must be nonzero")
+    try:
+        room = move_wall(scene, args.plane, direction, step=args.step)
+    except KeyError as e:
+        raise SystemExit(str(e))
+    _save_scene(scene, args.scene)
+    where = f"room {room.room_id}" if room is not None else "free-standing"
+    print(f"moved wall {args.plane} ({where})")
+
+
+def cmd_delete_plane(args):
+    from housescan_tpu.rooms.manip import delete_plane
+
+    scene = _load_scene(args.scene)
+    delete_plane(scene, args.plane)
+    _save_scene(scene, args.scene)
+    print(f"deleted plane {args.plane}")
+
+
+def _parse_xyz(spec: str) -> np.ndarray:
+    parts = spec.split(",")
+    if len(parts) != 3:
+        raise SystemExit(f"bad point {spec!r}; expected x,y,z")
+    return np.array([float(x) for x in parts], np.float32)
+
+
+def cmd_plane_from_points(args):
+    from housescan_tpu.rooms.corners import plane_from_points
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    if args.points_file:
+        pts = np.loadtxt(args.points_file, dtype=np.float32, ndmin=2)
+        if pts.shape[1] != 3:
+            raise SystemExit(f"{args.points_file}: expected 3 columns, got {pts.shape[1]}")
+    else:
+        pts = np.stack([_parse_xyz(s) for s in args.points])
+    try:
+        room = plane_from_points(scene, room, pts)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    _save_scene(scene, args.scene)
+    p = room.planes[0]
+    n = p.normal
+    print(
+        f"added plane {p.plane_id} to room {room.room_id}: "
+        f"n=({n[0]:+.3f},{n[1]:+.3f},{n[2]:+.3f}) d={p.d:+.4f}"
+    )
+
+
+def cmd_corner(args):
+    from housescan_tpu.rooms.corners import add_corner_from_planes
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    got = add_corner_from_planes(
+        scene, room, (args.plane1, args.plane2, args.plane3)
+    )
+    if got is None:
+        raise SystemExit(
+            "no corner added (planes near-parallel, or the room already has 8 corners)"
+        )
+    _save_scene(scene, args.scene)
+    print(f"room {got.room_id}: {len(got.corners)} corners")
+
+
+def cmd_accept_corner(args):
+    from housescan_tpu.rooms.corners import accept_corner_suggestion
+
+    scene = _load_scene(args.scene)
+    room = _room_by_id(scene, args.room)
+    if not any(sid == args.suggestion for sid, _ in room.suggested_corners):
+        raise SystemExit(
+            f"no suggestion {args.suggestion} in room {room.room_id}; have "
+            f"{sorted(sid for sid, _ in room.suggested_corners)}"
+        )
+    got = accept_corner_suggestion(scene, room, args.suggestion)
+    _save_scene(scene, args.scene)
+    print(f"room {got.room_id}: {len(got.corners)} corners")
+
+
 def cmd_info(args):
     scene = _load_scene(args.scene)
     print(f"scene: {len(scene.rooms)} rooms, {len(scene.connected_walls)} wall "
@@ -353,6 +468,53 @@ def main(argv=None):
     p.add_argument("dy", type=float)
     p.add_argument("dz", type=float)
     p.set_defaults(fn=cmd_move)
+
+    p = sub.add_parser("swap", help="swap two rooms' positions")
+    p.add_argument("room1", type=int)
+    p.add_argument("room2", type=int)
+    p.set_defaults(fn=cmd_swap)
+
+    p = sub.add_parser("duplicate-plane", help="duplicate a wall plane with a fresh ID")
+    p.add_argument("plane", type=int)
+    p.set_defaults(fn=cmd_duplicate_plane)
+
+    p = sub.add_parser(
+        "move-wall", help="move a wall plane, dragging its room corners"
+    )
+    p.add_argument("plane", type=int)
+    p.add_argument("dx", type=float)
+    p.add_argument("dy", type=float)
+    p.add_argument("dz", type=float)
+    p.add_argument("--step", type=float, default=0.01, help="meters per unit direction")
+    p.set_defaults(fn=cmd_move_wall)
+
+    p = sub.add_parser("delete-plane", help="delete a plane")
+    p.add_argument("plane", type=int)
+    p.set_defaults(fn=cmd_delete_plane)
+
+    p = sub.add_parser(
+        "plane-from-points", help="fit a plane to >=3 picked points"
+    )
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument(
+        "points", nargs="*", metavar="X,Y,Z", help="picked points as x,y,z"
+    )
+    p.add_argument(
+        "--points-file", default=None, help="text file with one x y z row per point"
+    )
+    p.set_defaults(fn=cmd_plane_from_points)
+
+    p = sub.add_parser("corner", help="corner from 3 planes of one room")
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument("plane1", type=int)
+    p.add_argument("plane2", type=int)
+    p.add_argument("plane3", type=int)
+    p.set_defaults(fn=cmd_corner)
+
+    p = sub.add_parser("accept-corner", help="adopt one suggested corner")
+    p.add_argument("--room", type=int, default=None)
+    p.add_argument("suggestion", type=int)
+    p.set_defaults(fn=cmd_accept_corner)
 
     p = sub.add_parser("info", help="scene summary")
     p.set_defaults(fn=cmd_info)

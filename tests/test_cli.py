@@ -1,0 +1,169 @@
+"""CLI-level tests: every subcommand of housescan_tpu.cli.main drives the
+same scene-checkpoint workflow the reference drove with key bindings
+(ref Main.hs:950-1008). Each test invokes main([...]) exactly as a shell
+user would and asserts on the persisted scene."""
+
+import numpy as np
+import pytest
+
+from housescan_tpu.cli.main import main
+from housescan_tpu.io.checkpoint import load_scene
+from housescan_tpu.testing import make_synthetic_room_dir
+
+
+@pytest.fixture
+def scene_path(tmp_path):
+    return str(tmp_path / "scene.housescan")
+
+
+@pytest.fixture
+def two_room_scene(tmp_path, scene_path):
+    """Two synthetic rooms loaded, cornered, and cuboid-fitted via the CLI."""
+    dims = (4.0, 2.5, 5.0)
+    for i in range(2):
+        d = make_synthetic_room_dir(
+            tmp_path / f"room{i}",
+            dims=dims,
+            seed=i,
+            offset=np.array([i * (dims[0] + 0.4), 0, 0]),
+        )
+        main(["--scene", scene_path, "add-room", str(d)])
+    scene = load_scene(scene_path)
+    for rid in sorted(scene.rooms):
+        main(["--scene", scene_path, "suggest", "--room", str(rid)])
+        main(["--scene", scene_path, "fit-cuboid", "--room", str(rid)])
+    return scene_path
+
+
+def _rooms(scene_path):
+    return load_scene(scene_path).rooms
+
+
+class TestManipCommands:
+    def test_swap(self, two_room_scene):
+        rooms = _rooms(two_room_scene)
+        (r1, r2) = sorted(rooms)
+        m1, m2 = rooms[r1].mean(), rooms[r2].mean()
+        main(["--scene", two_room_scene, "swap", str(r1), str(r2)])
+        rooms2 = _rooms(two_room_scene)
+        np.testing.assert_allclose(rooms2[r1].mean(), m2, atol=1e-4)
+        np.testing.assert_allclose(rooms2[r2].mean(), m1, atol=1e-4)
+
+    def test_swap_unknown_room_exits(self, two_room_scene):
+        with pytest.raises(SystemExit):
+            main(["--scene", two_room_scene, "swap", "999999", "999998"])
+
+    def test_duplicate_then_delete_plane(self, two_room_scene):
+        rooms = _rooms(two_room_scene)
+        rid = sorted(rooms)[0]
+        pid = rooms[rid].planes[0].plane_id
+        n_before = len(rooms[rid].planes)
+        main(["--scene", two_room_scene, "duplicate-plane", str(pid)])
+        rooms2 = _rooms(two_room_scene)
+        assert len(rooms2[rid].planes) == n_before + 1
+        new_ids = {p.plane_id for p in rooms2[rid].planes} - {
+            p.plane_id for p in rooms[rid].planes
+        }
+        assert len(new_ids) == 1
+        main(["--scene", two_room_scene, "delete-plane", str(new_ids.pop())])
+        assert len(_rooms(two_room_scene)[rid].planes) == n_before
+
+    def test_move_wall_shifts_plane_and_corners(self, two_room_scene):
+        rooms = _rooms(two_room_scene)
+        rid = sorted(rooms)[0]
+        room = rooms[rid]
+        # pick the +x-most wall (cuboid-fitted: corners lie on it)
+        plane = min(room.planes, key=lambda p: p.normal[0])
+        offset = np.array([1.0, 0.0, 0.0], np.float32) * 0.05
+        want_d = plane.d + float(plane.normal @ offset)
+        main(
+            ["--scene", two_room_scene, "move-wall", str(plane.plane_id),
+             "1", "0", "0", "--step", "0.05"]
+        )
+        room2 = _rooms(two_room_scene)[rid]
+        got = next(p for p in room2.planes if p.plane_id == plane.plane_id)
+        assert abs(got.d - want_d) < 1e-5
+        np.testing.assert_allclose(got.bounds, plane.bounds + offset, atol=1e-5)
+        # the wall's 4 corners moved with it, the other 4 stayed
+        moved = sum(
+            1
+            for (ca, cb) in zip(room.corners, room2.corners)
+            if not np.allclose(ca[1], cb[1])
+        )
+        assert moved == 4
+
+    def test_plane_from_points(self, two_room_scene):
+        rooms = _rooms(two_room_scene)
+        rid = sorted(rooms)[0]
+        n_before = len(rooms[rid].planes)
+        main(
+            ["--scene", two_room_scene, "plane-from-points", "--room", str(rid),
+             "0,0,0.5", "1,0,0.5", "0,1,0.5", "1,1,0.5"]
+        )
+        room2 = _rooms(two_room_scene)[rid]
+        assert len(room2.planes) == n_before + 1
+        p = room2.planes[0]
+        assert abs(abs(p.normal[2]) - 1.0) < 1e-4  # z = 0.5 plane
+        assert abs(abs(p.d) - 0.5) < 1e-4
+
+    def test_plane_from_points_file(self, two_room_scene, tmp_path):
+        rooms = _rooms(two_room_scene)
+        rid = sorted(rooms)[0]
+        f = tmp_path / "picked.txt"
+        f.write_text("0 0 0\n1 0 0\n0 1 0\n")
+        main(
+            ["--scene", two_room_scene, "plane-from-points", "--room", str(rid),
+             "--points-file", str(f)]
+        )
+        p = _rooms(two_room_scene)[rid].planes[0]
+        assert abs(abs(p.normal[2]) - 1.0) < 1e-4
+
+    def test_plane_from_points_too_few(self, two_room_scene):
+        rid = str(sorted(_rooms(two_room_scene))[0])
+        with pytest.raises(SystemExit):
+            main(
+                ["--scene", two_room_scene, "plane-from-points", "--room", rid,
+                 "0,0,0", "1,0,0"]
+            )
+
+
+class TestCornerCommands:
+    def test_corner_from_three_planes(self, tmp_path, scene_path):
+        d = make_synthetic_room_dir(tmp_path / "room", dims=(4.0, 2.5, 5.0), seed=3)
+        main(["--scene", scene_path, "add-room", str(d)])
+        rooms = _rooms(scene_path)
+        rid = sorted(rooms)[0]
+        room = rooms[rid]
+        # three mutually orthogonal planes intersect in one corner
+        px = min(room.planes, key=lambda p: abs(abs(p.normal[0]) - 1))
+        py = min(room.planes, key=lambda p: abs(abs(p.normal[1]) - 1))
+        pz = min(room.planes, key=lambda p: abs(abs(p.normal[2]) - 1))
+        main(
+            ["--scene", scene_path, "corner", "--room", str(rid),
+             str(px.plane_id), str(py.plane_id), str(pz.plane_id)]
+        )
+        assert len(_rooms(scene_path)[rid].corners) == 1
+
+    def test_accept_corner(self, tmp_path, scene_path):
+        d = make_synthetic_room_dir(tmp_path / "room", dims=(4.0, 2.5, 5.0), seed=4)
+        main(["--scene", scene_path, "add-room", str(d)])
+        rid = sorted(_rooms(scene_path))[0]
+        # first suggest auto-adopts the 8 cuboid corners; a second pass
+        # stores fresh suggestions (corners now exist)
+        main(["--scene", scene_path, "suggest", "--room", str(rid)])
+        main(["--scene", scene_path, "suggest", "--room", str(rid)])
+        room = _rooms(scene_path)[rid]
+        assert room.suggested_corners
+        sid = room.suggested_corners[0][0]
+        n = len(room.corners)
+        main(["--scene", scene_path, "accept-corner", "--room", str(rid), str(sid)])
+        room2 = _rooms(scene_path)[rid]
+        assert len(room2.corners) == n + 1
+        assert all(s[0] != sid for s in room2.suggested_corners)
+
+    def test_accept_corner_unknown_id_exits(self, tmp_path, scene_path):
+        d = make_synthetic_room_dir(tmp_path / "room", dims=(4.0, 2.5, 5.0), seed=5)
+        main(["--scene", scene_path, "add-room", str(d)])
+        rid = str(sorted(_rooms(scene_path))[0])
+        with pytest.raises(SystemExit):
+            main(["--scene", scene_path, "accept-corner", "--room", rid, "424242"])
