@@ -32,10 +32,38 @@ class IcpResult(NamedTuple):
     n_corr: jnp.ndarray  # () int32 final correspondence count
 
 
+def _model_gradients(model_vertices: jnp.ndarray, model_valid: jnp.ndarray):
+    """Central-difference model-map gradients for the linearized
+    association, masked at invalid/seam neighbors.
+
+    ITERATION-INVARIANT: the model maps are fixed while tracking a frame,
+    so callers compute this once per level and close over it instead of
+    paying ~10 full-map ops per GN iteration inside the loop."""
+
+    def shift(m, dy, dx):
+        return jnp.roll(m, (-dy, -dx), (0, 1))
+
+    okf = model_valid
+    ok_u = shift(okf, 0, 1) & shift(okf, 0, -1)
+    ok_v = shift(okf, 1, 0) & shift(okf, -1, 0)
+    gu = jnp.where(
+        ok_u[..., None],
+        0.5 * (shift(model_vertices, 0, 1) - shift(model_vertices, 0, -1)),
+        0.0,
+    )
+    gv = jnp.where(
+        ok_v[..., None],
+        0.5 * (shift(model_vertices, 1, 0) - shift(model_vertices, -1, 0)),
+        0.0,
+    )
+    return gu, gv
+
+
 def _associate(
     model_vertices: jnp.ndarray,
     model_normals: jnp.ndarray,
     model_valid: jnp.ndarray,
+    grads,  # (gu, gv) from _model_gradients
     u: jnp.ndarray,  # float projected column
     v: jnp.ndarray,  # float projected row
     window: int,
@@ -68,22 +96,7 @@ def _associate(
     dv = v - py
     near = (jnp.abs(du) <= gate) & (jnp.abs(dv) <= gate)
 
-    def shift(m, dy, dx):
-        return jnp.roll(m, (-dy, -dx), (0, 1))
-
-    okf = model_valid
-    ok_u = shift(okf, 0, 1) & shift(okf, 0, -1)
-    ok_v = shift(okf, 1, 0) & shift(okf, -1, 0)
-    gu = jnp.where(
-        ok_u[..., None],
-        0.5 * (shift(model_vertices, 0, 1) - shift(model_vertices, 0, -1)),
-        0.0,
-    )
-    gv = jnp.where(
-        ok_v[..., None],
-        0.5 * (shift(model_vertices, 1, 0) - shift(model_vertices, -1, 0)),
-        0.0,
-    )
+    gu, gv = grads
     m_v = model_vertices + gu * du[..., None] + gv * dv[..., None]
     # Pixels whose extrapolation basis is missing keep the identity
     # association (still exact for point-to-plane on their own plane when
@@ -152,6 +165,7 @@ def _icp_level_iteration(
     model_vertices: jnp.ndarray,  # (Hm, Wm, 3) world frame
     model_normals: jnp.ndarray,  # (Hm, Wm, 3) world frame
     model_valid: jnp.ndarray,  # (Hm, Wm)
+    model_grads,  # (gu, gv) from _model_gradients
     prev_pose: jnp.ndarray,
     intr: Intrinsics,
     dist_threshold: float,
@@ -187,7 +201,7 @@ def _icp_level_iteration(
     )
 
     m_v, m_n, m_ok = _associate(
-        model_vertices, model_normals, model_valid, u, v, window
+        model_vertices, model_normals, model_valid, model_grads, u, v, window
     )
 
     diff = v_w - m_v
@@ -279,6 +293,9 @@ def icp_track(
         win = windows[level] if len(windows) == n_levels else windows[-1]
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
         lvl_intr = intr.level(level)
+        # Model-map gradients are fixed for the whole frame: compute them
+        # once per level, outside the GN while_loop.
+        grads = _model_gradients(model_vertices[level], model_valid[level])
 
         # Iterate until the twist increment is negligible (the usual
         # case after 3-5 iterations) or the level's budget runs out —
@@ -288,7 +305,8 @@ def icp_track(
             i, _, _, _, norm = carry
             return (i < _iters) & (norm > 1e-5)
 
-        def body(carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp):
+        def body(carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp,
+                 _grads=grads):
             i, p, _, _, _ = carry
             p2, rm, nc, norm = _icp_level_iteration(
                 p,
@@ -297,6 +315,7 @@ def icp_track(
                 model_vertices[_level],
                 model_normals[_level],
                 model_valid[_level],
+                _grads,
                 prev_pose,
                 _intr,
                 dist_threshold,

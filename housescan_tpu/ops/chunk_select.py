@@ -30,8 +30,8 @@ block coordinates in the side arrays ``bi``/``bj``/``bk`` (bk in
   bits [0:2)   cls     0=FREE 1=BAND 2=NOOP (copy only) 3=REFINE
   bits [2:4)   level   depth-mip level for the band window
   bits [4:10)  v08     window row origin / 8
-  bits [10:13) u0128   window col origin / 128
-(low half = even chunk, bits [13:26) = odd chunk). Volumes whose z
+  bits [10:14) u064    window col origin / 64
+(low half = even chunk, bits [14:28) = odd chunk). Volumes whose z
 extent is a single chunk (nzc odd, e.g. 128^3) fall back to one-chunk
 entries with a NOOP high half.
 
@@ -59,9 +59,10 @@ CLS_NOOP = 2
 # like the dense kernel, so mip-level selection matches it everywhere.
 CLS_REFINE = 3
 
-# Band-window geometry (must match ops/tsdf_stream.py).
+# Band-window geometry (must match ops/tsdf_stream.py): 128-wide windows
+# with 64-aligned origins (odd 64-slots read the shifted mip copy).
 WIN_V = 32
-WIN_U = 256
+WIN_U = 128
 L3_V = 64
 L3_U = 256
 
@@ -371,8 +372,8 @@ def build_worklist(
 
     # ---- band-window level + aligned origin (matches ops/tsdf_stream) --
     # Window must cover the clipped bbox of the UPDATABLE quarters after
-    # aligning the origin DOWN (rows to 8, cols to 128): fits(l) iff
-    # span_v <= 22*2^l and span_u <= 120*2^l; level 3 (the full padded
+    # aligning the origin DOWN (rows to 8, cols to 64): fits(l) iff
+    # span_v <= 22*2^l and span_u <= 60*2^l; level 3 (the full padded
     # L3 mip) always fits.
     cumin = jnp.clip(umin, 0.0, w_img - 1.0)
     cumax = jnp.clip(umax, 0.0, w_img - 1.0)
@@ -380,9 +381,9 @@ def build_worklist(
     cvmax = jnp.clip(vmax, 0.0, h_img - 1.0)
     span_u = cumax - cumin
     span_v = cvmax - cvmin
-    fits0 = (span_v <= 22.0) & (span_u <= 120.0)
-    fits1 = (span_v <= 44.0) & (span_u <= 240.0)
-    fits2 = (span_v <= 88.0) & (span_u <= 480.0)
+    fits0 = (span_v <= 22.0) & (span_u <= 60.0)
+    fits1 = (span_v <= 44.0) & (span_u <= 120.0)
+    fits2 = (span_v <= 88.0) & (span_u <= 240.0)
     level = jnp.where(fits0, 0, jnp.where(fits1, 1, jnp.where(fits2, 2, 3)))
     level = jnp.where(clean, level, 3).astype(jnp.int32)
     scale = jnp.exp2(level.astype(jnp.float32))
@@ -406,15 +407,15 @@ def build_worklist(
         return out
 
     v0_raw = ((cvmin / scale).astype(jnp.int32) - 1) & ~7
-    u0_raw = ((cumin / scale).astype(jnp.int32) - 1) & ~127
+    u0_raw = ((cumin / scale).astype(jnp.int32) - 1) & ~63
     v0 = jnp.clip(v0_raw, 0, sel3([h - WIN_V for h in h_l], 0))
     u0 = jnp.clip(u0_raw, 0, sel3([w - WIN_U for w in w_l], 0))
     v0 = jnp.where(level == 3, 0, v0)
     u0 = jnp.where(level == 3, 0, u0)
 
-    # Per-chunk HALF descriptor: cls(2) level(2) v08(6) u0128(3) = 13 bits.
+    # Per-chunk HALF descriptor: cls(2) level(2) v08(6) u064(4) = 14 bits.
     half = (
-        cls | (level << 2) | ((v0 >> 3) << 4) | ((u0 >> 7) << 10)
+        cls | (level << 2) | ((v0 >> 3) << 4) | ((u0 >> 6) << 10)
     ).astype(jnp.int32)
     noop_half = jnp.int32(CLS_NOOP)
     half = jnp.where(skip, noop_half, half)
@@ -428,7 +429,7 @@ def build_worklist(
         n_super = n // 2
         half2 = half.reshape(n_super, 2)
         skip2 = skip.reshape(n_super, 2)
-        packed = (half2[:, 0] | (half2[:, 1] << 13)).astype(jnp.int32)
+        packed = (half2[:, 0] | (half2[:, 1] << 14)).astype(jnp.int32)
         skip_s = skip2[:, 0] & skip2[:, 1]
         sci = ci.reshape(n_super, 2)[:, 0]
         scj = cj.reshape(n_super, 2)[:, 0]
@@ -437,7 +438,7 @@ def build_worklist(
         # Odd chunk count in z (e.g. 128^3): single-chunk entries with a
         # NOOP second half.
         n_super = n
-        packed = (half | (noop_half << 13)).astype(jnp.int32)
+        packed = (half | (noop_half << 14)).astype(jnp.int32)
         skip_s = skip
         sci, scj, sck = ci, cj, ck
 
@@ -451,7 +452,7 @@ def build_worklist(
     # count == 0: one all-NOOP entry on chunk (0,0,0) keeps the
     # pipeline's revisit-elision invariant (padding repeats a real
     # entry).
-    noop = (noop_half | (noop_half << 13)).astype(jnp.int32)
+    noop = (noop_half | (noop_half << 14)).astype(jnp.int32)
     last = jnp.where(count > 0, sorted_packed[jnp.maximum(count - 1, 0)], noop)
     last_c = jnp.where(count > 0, sorted_coords[jnp.maximum(count - 1, 0)], 0)
     steps = jnp.arange(n_super, dtype=jnp.int32)
@@ -482,7 +483,7 @@ def decode_worklist(wl: WorkList):
     rows = []
     for s in range(count):
         for h in range(2):
-            d = (packed[s] >> (13 * h)) & 0x1FFF
+            d = (packed[s] >> (14 * h)) & 0x3FFF
             cls = d & 3
             if cls == CLS_NOOP:
                 continue
@@ -494,7 +495,7 @@ def decode_worklist(wl: WorkList):
                     cls,
                     (d >> 2) & 3,
                     ((d >> 4) & 63) * 8,
-                    ((d >> 10) & 7) * 128,
+                    ((d >> 10) & 15) * 64,
                 )
             )
     return rows

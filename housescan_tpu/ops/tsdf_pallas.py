@@ -210,8 +210,13 @@ def _kernel(
             span_v = vmax - vmin
 
             def fits(l):
+                # Thresholds match the streaming kernel's half-width
+                # windows (ops/tsdf_stream.py): same level selection
+                # keeps the two kernels numerically comparable. The
+                # dense kernel's own 256-wide windows cover these spans
+                # with margin.
                 s = float(1 << l)
-                return (span_v <= 22.0 * s) & (span_u <= 120.0 * s)
+                return (span_v <= 22.0 * s) & (span_u <= 60.0 * s)
 
             level = jnp.where(
                 fits(0), 0, jnp.where(fits(1), 1, jnp.where(fits(2), 2, 3))

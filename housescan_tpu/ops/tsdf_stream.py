@@ -57,7 +57,13 @@ from housescan_tpu.ops.planes_pallas import (
 )
 
 WIN_V = 32
-WIN_U = 256
+# Half-width depth windows: the (WIN_U, Z) one-hot column-weight build is
+# the band path's dominant VPU cost, and it scales linearly with WIN_U.
+# 128-wide windows with 64-aligned origins (Mosaic lane slices must be
+# 128-aligned, so odd 64-offsets slice a pre-shifted mip copy) halve it;
+# the cost is a slightly earlier mip-level bump (span_u <= 60*2^l instead
+# of 120*2^l) for mid-distance chunks.
+WIN_U = 128
 L3_V = 64
 L3_U = 256
 CHUNK_Z = 128
@@ -81,6 +87,9 @@ def _kernel(
     mip0,
     mip1,
     mip2,
+    mip0s,  # 64-px-left-shifted copies (odd window origins)
+    mip1s,
+    mip2s,
     l3,  # VMEM full depth mips (0 = invalid)
     vol_in,  # VMEM (2, 8, 8, 128*super_z): [tsdf, weight] superchunk
     planes_in,  # VMEM (1, 1, super_z, N_FIELDS, NSUB_C) — aliased, not read
@@ -122,14 +131,13 @@ def _kernel(
         for h in range(super_z):
             _process_half(
                 h,
-                (p >> (13 * h)) & 0x1FFF,
+                (p >> (14 * h)) & 0x3FFF,
                 ci,
                 cj,
                 bk * super_z + h,
                 params,
-                mip0,
-                mip1,
-                mip2,
+                (mip0, mip1, mip2),
+                (mip0s, mip1s, mip2s),
                 l3,
                 vol_out,
                 planes_out,
@@ -142,14 +150,13 @@ def _kernel(
 
 def _process_half(
     h,  # python int: which half of the block (lane offset h*128)
-    desc,  # 13-bit half descriptor (traced scalar)
+    desc,  # 14-bit half descriptor (traced scalar)
     ci,
     cj,
     ckc,  # chunk z index (traced scalar)
     params,
-    mip0,
-    mip1,
-    mip2,
+    mips,  # (mip0, mip1, mip2)
+    mips_s,  # 64-px-shifted copies
     l3,
     vol_out,
     planes_out,
@@ -161,7 +168,7 @@ def _process_half(
     cls = desc & 3
     level = (desc >> 2) & 3
     v0 = pl.multiple_of(((desc >> 4) & 63) * 8, 8)
-    u0 = pl.multiple_of(((desc >> 10) & 7) * 128, 128)
+    u0 = pl.multiple_of(((desc >> 10) & 15) * 64, 64)
 
     r00, r01, r02 = params[0], params[1], params[2]
     r10, r11, r12 = params[3], params[4], params[5]
@@ -321,7 +328,7 @@ def _process_half(
         _store_sign(mn_t, mx_t)
 
     def band_update(window, nrows, scale, v0f, u0f):
-        """Exact bilinear depth from a (nrows, WIN_U) window.
+        """Exact bilinear depth from a (nrows, win_u) window.
 
         Contraction order: columns first on the MXU
         (window @ wc -> (nrows, Z)), then the nrows-row v-weight reduce
@@ -331,11 +338,12 @@ def _process_half(
         validity-denominator matmul and renormalizing divide are
         skipped; windows containing invalid (0) pixels take the full
         renormalized path."""
+        win_u = window.shape[1]
         rows_i = jax.lax.broadcasted_iota(
             jnp.int32, (nrows, CHUNK_Z), 0
         ).astype(jnp.float32)
         cols_i = jax.lax.broadcasted_iota(
-            jnp.int32, (WIN_U, CHUNK_Z), 0
+            jnp.int32, (win_u, CHUNK_Z), 0
         ).astype(jnp.float32)
 
         def weights(uf, vf, iy):
@@ -405,42 +413,45 @@ def _process_half(
 
     def band_dispatch(lvl, v0s, u0s):
         """Window slice + band update for a (possibly traced) level and
-        aligned origins."""
+        aligned origins.
+
+        ``u0s`` is 64-aligned in level coords, but Mosaic lane slices
+        must be 128-aligned: even 64-slots slice the base mip directly,
+        odd ones slice the 64-px-left-shifted copy at u0s - 64 (which is
+        128-aligned and holds the same pixels)."""
         scale = jnp.where(
             lvl == 0,
             1.0,
             jnp.where(lvl == 1, 2.0, jnp.where(lvl == 2, 4.0, 8.0)),
         )
+        odd = (u0s & 64) != 0
 
-        @pl.when(lvl == 0)
-        def _():
-            band_update(
-                mip0[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                WIN_V,
-                scale,
-                v0s.astype(jnp.float32),
-                u0s.astype(jnp.float32),
-            )
+        for l in range(3):
+            @pl.when((lvl == l) & ~odd)
+            def _(_l=l):
+                band_update(
+                    mips[_l][
+                        pl.ds(v0s, WIN_V),
+                        pl.ds(pl.multiple_of(u0s, 128), WIN_U),
+                    ],
+                    WIN_V,
+                    scale,
+                    v0s.astype(jnp.float32),
+                    u0s.astype(jnp.float32),
+                )
 
-        @pl.when(lvl == 1)
-        def _():
-            band_update(
-                mip1[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                WIN_V,
-                scale,
-                v0s.astype(jnp.float32),
-                u0s.astype(jnp.float32),
-            )
-
-        @pl.when(lvl == 2)
-        def _():
-            band_update(
-                mip2[pl.ds(v0s, WIN_V), pl.ds(u0s, WIN_U)],
-                WIN_V,
-                scale,
-                v0s.astype(jnp.float32),
-                u0s.astype(jnp.float32),
-            )
+            @pl.when((lvl == l) & odd)
+            def _(_l=l):
+                band_update(
+                    mips_s[_l][
+                        pl.ds(v0s, WIN_V),
+                        pl.ds(pl.multiple_of(u0s - 64, 128), WIN_U),
+                    ],
+                    WIN_V,
+                    scale,
+                    v0s.astype(jnp.float32),
+                    u0s.astype(jnp.float32),
+                )
 
         @pl.when(lvl == 3)
         def _():
@@ -483,7 +494,7 @@ def _process_half(
 
             def fits(l):
                 s = float(1 << l)
-                return (span_v <= 22.0 * s) & (span_u <= 120.0 * s)
+                return (span_v <= 22.0 * s) & (span_u <= 60.0 * s)
 
             lvl = jnp.where(
                 fits(0), 0, jnp.where(fits(1), 1, jnp.where(fits(2), 2, 3))
@@ -495,13 +506,13 @@ def _process_half(
             )
             h_sel = jnp.where(
                 lvl == 0,
-                mip0.shape[0],
-                jnp.where(lvl == 1, mip1.shape[0], mip2.shape[0]),
+                mips[0].shape[0],
+                jnp.where(lvl == 1, mips[1].shape[0], mips[2].shape[0]),
             )
             w_sel = jnp.where(
                 lvl == 0,
-                mip0.shape[1],
-                jnp.where(lvl == 1, mip1.shape[1], mip2.shape[1]),
+                mips[0].shape[1],
+                jnp.where(lvl == 1, mips[1].shape[1], mips[2].shape[1]),
             )
             v0r = pl.multiple_of(
                 jnp.clip(
@@ -511,11 +522,11 @@ def _process_half(
             )
             u0r = pl.multiple_of(
                 jnp.clip(
-                    ((bumin / sc).astype(jnp.int32) - 1) & ~127,
+                    ((bumin / sc).astype(jnp.int32) - 1) & ~63,
                     0,
                     w_sel - WIN_U,
                 ),
-                128,
+                64,
             )
             band_dispatch(lvl, v0r, u0r)
 
@@ -595,8 +606,17 @@ def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
     return out.at[:h, :w].set(m)
 
 
+def _shift64(m: jnp.ndarray) -> jnp.ndarray:
+    """64-px-left-shifted copy: shifted[:, i] = m[:, i + 64] (0 padded).
+
+    Lets a 64-aligned window origin slice 128-aligned lanes: an odd
+    64-slot u0 reads shifted[:, u0-64 : u0+64] == m[:, u0 : u0+128]."""
+    return jnp.pad(m[:, 64:], ((0, 0), (0, 64)))
+
+
 def build_depth_mips(depth: jnp.ndarray):
-    """L0..L2 padded mips + the (64, 256) L3 (0 = invalid depth)."""
+    """L0..L2 padded mips (+ 64-px-shifted copies) + the (64, 256) L3
+    (0 = invalid depth)."""
     d0 = depth
     d1 = d0[::2, ::2]
     d2 = d1[::2, ::2]
@@ -608,7 +628,7 @@ def build_depth_mips(depth: jnp.ndarray):
     m2 = _pad_to(d2, 8, -(-d2.shape[1] // 128) * 128)
     h3, w3 = d3.shape
     l3 = jnp.zeros((L3_V, L3_U), jnp.float32).at[:h3, :w3].set(d3)
-    return m0, m1, m2, l3
+    return m0, m1, m2, _shift64(m0), _shift64(m1), _shift64(m2), l3
 
 
 @partial(
@@ -641,7 +661,7 @@ def tsdf_integrate_stream(
     wl = build_worklist(
         depth, pose, intr, r, vol.voxel_size, vol.origin, vol.trunc
     )
-    m0, m1, m2, l3 = build_depth_mips(depth)
+    m0, m1, m2, m0s, m1s, m2s, l3 = build_depth_mips(depth)
 
     rot = pose[:3, :3]
     t = pose[3, :3]
@@ -677,6 +697,9 @@ def tsdf_integrate_stream(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
             # planes_in exists only to alias planes_out (the kernel never
             # reads it): a CONSTANT index_map fires its block DMA once
@@ -700,11 +723,11 @@ def tsdf_integrate_stream(
             jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
         ],
-        input_output_aliases={10: 0, 11: 1},
+        input_output_aliases={13: 0, 14: 1},
         interpret=interpret,
     )(
         wl.packed, wl.bi, wl.bj, wl.bk, wl.count,
-        params, m0, m1, m2, l3, vol.data, planes,
+        params, m0, m1, m2, m0s, m1s, m2s, l3, vol.data, planes,
     )
 
     return vol._replace(data=out_data), out_planes

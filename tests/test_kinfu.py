@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from housescan_tpu.kinfu.camera import Intrinsics, pixel_rays
-from housescan_tpu.kinfu.icp import _icp_level_iteration, icp_track
+from housescan_tpu.kinfu.icp import _icp_level_iteration, _model_gradients, icp_track
 from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_run, kinfu_step
 from housescan_tpu.kinfu.preprocess import (
     bilateral_filter,
@@ -236,7 +236,8 @@ class TestIcp:
             # association needs sub-pixel flow, which a full inter-frame
             # motion doesn't satisfy)
             pose, rmse, ncorr, _ = _icp_level_iteration(
-                pose, v1, n1, mv, mn, mok, p0, INTR, 0.10, 0.5236, window=4
+                pose, v1, n1, mv, mn, mok, _model_gradients(mv, mok), p0,
+                INTR, 0.10, 0.5236, window=4
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p1[3, :3])) < 5e-4  # 0.5mm
         assert int(ncorr) > 5000
@@ -263,7 +264,8 @@ class TestIcp:
         pose = jnp.asarray(bad)
         for _ in range(10):
             pose, _, _, _ = _icp_level_iteration(
-                pose, v0, n0, mv, mn, mok, p0, INTR, 0.10, 0.5236
+                pose, v0, n0, mv, mn, mok, _model_gradients(mv, mok), p0,
+                INTR, 0.10, 0.5236
             )
         assert float(jnp.linalg.norm(pose[3, :3] - p0[3, :3])) < 1e-3
 
