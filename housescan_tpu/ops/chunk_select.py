@@ -160,8 +160,18 @@ def build_worklist(
     voxel_size: jnp.ndarray,
     origin: jnp.ndarray,
     trunc: jnp.ndarray,
+    sat_quarters: jnp.ndarray = None,
 ) -> WorkList:
-    """Classify all (8, 8, 128) chunks and compact the non-SKIP ones."""
+    """Classify all (8, 8, 128) chunks and compact the non-SKIP ones.
+
+    ``sat_quarters`` ((n, 4) bool, chunk raster order) marks chunk
+    z-quarters whose free space is fully saturated (ops/tsdf_stream.py
+    FIELD_SAT): a quarter that classifies free AND is saturated is
+    treated like a behind one — its update would be a no-op — so fully
+    saturated free chunks drop out of the work list. Any frame that
+    sees a surface in a quarter's footprint makes it non-free and the
+    chunk is visited normally.
+    """
     nbx = resolution // 8
     nzc = resolution // 128
     n = nbx * nbx * nzc
@@ -332,7 +342,7 @@ def build_worklist(
     eff_clean = jnp.ones((n,), bool)
     zmin = jnp.full((n,), BIG)
     zmax = jnp.full((n,), -BIG)
-    for qd in quarters:
+    for qi, qd in enumerate(quarters):
         inc = qd["inc"]
         fq_min, fq_max, fq_all, fq_fit = fp_stats(
             qd["umin"], qd["umax"], qd["vmin"], qd["vmax"]
@@ -351,6 +361,10 @@ def build_worklist(
         all_free = all_free & (~inc | free_q)
         all_behind = all_behind & (~inc | behind_q)
 
+        if sat_quarters is not None:
+            # A free quarter whose space is fully saturated updates
+            # nothing: treat it like a behind one.
+            behind_q = behind_q | (free_q & sat_quarters[:, qi])
         eff = inc & ~behind_q  # quarters whose voxels can update
         eff_any = eff_any | eff
         umin = jnp.where(eff, jnp.minimum(umin, qd["umin"]), umin)

@@ -42,11 +42,15 @@ from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.tsdf import TsdfVolume
 from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z
 
-MAX_CT = 96  # candidates per (band, u-tile); overflow is dropped
+MAX_CT = 96  # candidates per (band, u-tile); overflow drops farthest
 N_PREP = 16  # prepared fields (10 used, padded to a sublane tile)
 BIG = 1.0e9
 MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
-MAX_REAL_PAIRS = 65536  # pair-sort capacity after compaction
+# Visible+valid sub-blocks kept per frame. A 640x480 view bounds the
+# useful set: a sub-block projects to >= ~25 px^2 beyond 2 m, so ~2K
+# blocks of overdraw cover the frustum; selection is nearest-first
+# (bool argsort is stable), so overflow drops far geometry.
+MAX_VISIBLE = 4096
 
 
 def build_tile_candidates(
@@ -56,7 +60,23 @@ def build_tile_candidates(
     vol: TsdfVolume,
     z_min: float = 0.3,
 ):
-    """Phase 1: (n_tiles, MAX_CT, N_PREP) prepared-candidate tensor."""
+    """Phase 1: (n_tiles, MAX_CT, N_PREP) prepared-candidate tensor.
+
+    Gather-lean redesign (the first version spent ~2 ms on an inner-dim
+    planes transpose and ~1.8 ms on 3x65536-element compaction gathers;
+    sorts themselves are CHEAP on this backend, large 1-D gathers are
+    not):
+
+      * No transpose: every plane field is read as a contiguous-ish
+        slice ``planes[..., k, :]`` of the field-minor layout.
+      * One distance-keyed int argsort over ALL nb sub-blocks selects
+        the MAX_VISIBLE nearest visible+valid blocks; the only gathers
+        before the final candidate build are over those 4096 rows.
+      * Pairs carry a (tile, distance-bucket) composite key and are
+        sorted in FULL with +inf sentinels — no pre-compaction, no cap,
+        no gather. Per-tile MAX_CT truncation therefore drops
+        farthest-first.
+    """
     nbx = planes.shape[0]
     nsub = vol.tsdf.shape[2] // SUB_Z
     nb = nbx * nbx * nsub
@@ -64,64 +84,59 @@ def build_tile_candidates(
     n_ut = -(-intr.width // 128)
     n_tiles = n_bands * n_ut
 
-    p = jnp.transpose(planes, (0, 1, 2, 4, 3)).reshape(nb, N_FIELDS)
-    valid = p[:, 4] > 0.5
+    def field(k):
+        return planes[:, :, :, k, :].reshape(nb)
+
+    valid = field(4) > 0.5
+    nx_f, ny_f, nz_f = field(0), field(1), field(2)
 
     ids = jnp.arange(nb)
     bi = ids // (nbx * nsub)
     bj = (ids // nsub) % nbx
     bs = ids % nsub
     vs = vol.voxel_size
-    centers = jnp.stack(
-        [
-            vol.origin[0] + (bi * 8 + 4) * vs,
-            vol.origin[1] + (bj * 8 + 4) * vs,
-            vol.origin[2] + (bs * SUB_Z + SUB_Z // 2) * vs,
-        ],
-        axis=1,
-    )
+    cx_w = vol.origin[0] + (bi * 8 + 4) * vs
+    cy_w = vol.origin[1] + (bj * 8 + 4) * vs
+    cz_w = vol.origin[2] + (bs * SUB_Z + SUB_Z // 2) * vs
     radius = vs * (float(32 + SUB_Z * SUB_Z // 4) ** 0.5 + 1.0)
 
     rot = pose[:3, :3]
     t = pose[3, :3]
-    cam = (centers - t) @ rot.T
-    z = cam[:, 2]
+    dx = cx_w - t[0]
+    dy = cy_w - t[1]
+    dz = cz_w - t[2]
+    xc = dx * rot[0, 0] + dy * rot[0, 1] + dz * rot[0, 2]
+    yc = dx * rot[1, 0] + dy * rot[1, 1] + dz * rot[1, 2]
+    z = dx * rot[2, 0] + dy * rot[2, 1] + dz * rot[2, 2]
     in_front = z + radius > z_min
-
-    n_w = p[:, 0:3]
-    facing = jnp.sum(n_w * (t - centers), axis=1) > -radius
+    facing = (nx_f * -dx + ny_f * -dy + nz_f * -dz) > -radius
 
     safe_z = jnp.maximum(z - radius, 0.05)
-    u = intr.fx * cam[:, 0] / jnp.maximum(z, 1e-6) + intr.cx
-    v = intr.fy * cam[:, 1] / jnp.maximum(z, 1e-6) + intr.cy
+    u = intr.fx * xc / jnp.maximum(z, 1e-6) + intr.cx
+    v = intr.fy * yc / jnp.maximum(z, 1e-6) + intr.cy
     pr_u = intr.fx * radius / safe_z
     pr_v = intr.fy * radius / safe_z
     u_overlap = (u + pr_u > 0) & (u - pr_u < intr.width)
     v_overlap = (v + pr_v > 0) & (v - pr_v < intr.height)
     keep = valid & in_front & facing & u_overlap & v_overlap
 
-    # Band and u-tile ranges the bounding sphere touches.
-    b0 = jnp.clip(jnp.floor((v - pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
-    b1 = jnp.clip(jnp.ceil((v + pr_v) / 8.0), 0, n_bands - 1).astype(jnp.int32)
-    t0 = jnp.clip(jnp.floor((u - pr_u) / 128.0), 0, n_ut - 1).astype(jnp.int32)
-    t1 = jnp.clip(jnp.ceil((u + pr_u) / 128.0), 0, n_ut - 1).astype(jnp.int32)
+    # Nearest-first selection of the visible set: one int sort over all
+    # sub-blocks keyed by quantized camera distance (dropped blocks get
+    # a +inf-class key), then small gathers over the selected rows only.
+    db_all = jnp.clip(z * (255.0 / 20.0), 0.0, 255.0).astype(jnp.int32)
+    sel_key = jnp.where(keep, db_all, jnp.int32(1 << 24))
+    nv = min(MAX_VISIBLE, nb)
+    sel = jnp.argsort(sel_key)[:nv]
+    keep_s = keep[sel]
+    db = db_all[sel]
 
-    # Compact candidates in two stages: a CHUNK-level prefilter (a 16x
-    # smaller bool argsort — chunks with no valid plane are the vast
-    # majority) followed by sub-block compaction within the selected
-    # chunks. Keeps the pair sort at nv * MAX_PAIRS keys.
-    n_chunks = nb // 16
-    chunk_valid = jnp.max(planes[:, :, :, 4, :], axis=-1).reshape(-1) > 0.5
-    nc = min(4096, n_chunks)
-    chunk_sel = jnp.argsort(~chunk_valid)[:nc]
-    sub_ids = (chunk_sel[:, None] * 16 + jnp.arange(16)[None, :]).reshape(-1)
-    keep_c = keep[sub_ids]
-    nv = min(16384, sub_ids.shape[0])
-    sel_order = jnp.argsort(~keep_c)[:nv]
-    sel = sub_ids[sel_order]
-    keep_s = keep_c[sel_order]
-    b0_s, b1_s = b0[sel], b1[sel]
-    t0_s, t1_s = t0[sel], t1[sel]
+    # Band and u-tile ranges the bounding sphere touches (selected rows).
+    v_s, u_s = v[sel], u[sel]
+    pru_s, prv_s = pr_u[sel], pr_v[sel]
+    b0_s = jnp.clip(jnp.floor((v_s - prv_s) / 8.0), 0, n_bands - 1).astype(jnp.int32)
+    b1_s = jnp.clip(jnp.ceil((v_s + prv_s) / 8.0), 0, n_bands - 1).astype(jnp.int32)
+    t0_s = jnp.clip(jnp.floor((u_s - pru_s) / 128.0), 0, n_ut - 1).astype(jnp.int32)
+    t1_s = jnp.clip(jnp.ceil((u_s + pru_s) / 128.0), 0, n_ut - 1).astype(jnp.int32)
 
     # Emit up to MAX_PAIRS (band, utile) pairs per block over a
     # center-clipped (bspan x tspan) grid.
@@ -139,38 +154,21 @@ def build_tile_candidates(
     kb = k[None, :] // tspan[:, None]
     kt = k[None, :] % jnp.maximum(tspan[:, None], 1)
     pair_ok = keep_s[:, None] & (kb < bspan[:, None])
-    pair_tile = jnp.where(
+    pair_tile2 = jnp.where(
         pair_ok,
         (b0_s[:, None] + kb) * n_ut + (t0_s[:, None] + kt),
-        n_tiles,  # sentinel: sorts last
+        n_tiles,  # sentinel: counts exclude it, sorts last
+    )
+    # Composite key: tile-major, then 8-bit quantized distance, so a
+    # tile's candidates come out nearest-first and MAX_CT overflow
+    # drops the farthest.
+    pair_key = (pair_tile2 * 256 + db[:, None]).reshape(-1)
+    pair_tile = pair_tile2.reshape(-1)
+    pair_idx = jnp.broadcast_to(
+        jnp.arange(nv, dtype=jnp.int32)[:, None], (nv, MAX_PAIRS)
     ).reshape(-1)
-    pair_block = jnp.broadcast_to(sel[:, None], (nv, MAX_PAIRS)).reshape(-1)
-    # Per-tile truncation at MAX_CT must drop FARTHEST-first: fold an
-    # 8-bit quantized camera distance into the sort key (tile-major,
-    # then distance), so a candidate-dense tile keeps its nearest
-    # surfaces instead of an arbitrary block-id prefix.
-    db = jnp.clip(z[sel] * (255.0 / 20.0), 0.0, 255.0).astype(jnp.int32)
-    pair_key = pair_tile * 256 + jnp.broadcast_to(
-        db[:, None], (nv, MAX_PAIRS)
-    ).reshape(-1)
-
-    # Compact the real pairs first (a bool argsort is ~4x cheaper than
-    # an int sort at this size), then sort ONLY those, carrying the
-    # payload (cheaper on TPU than argsort + gather). Per-tile starts
-    # come from a histogram instead of searchsorted (XLA lowers
-    # searchsorted over n_pairs keys to an n_tiles x n_pairs
-    # broadcast-compare). NOTE: pairs beyond MAX_REAL_PAIRS (65536) are
-    # dropped in emission order, not by distance — reaching that cap
-    # needs >4096 camera-facing sub-block planes visible at once
-    # (tests/test_pallas_ops.py bounds a dense scene at ~25% of it).
-    is_real = pair_tile < n_tiles
-    cap = min(MAX_REAL_PAIRS, pair_tile.shape[0])
-    first_real = jnp.argsort(~is_real)[:cap]
-    pair_tile = pair_tile[first_real]
-    pair_key = pair_key[first_real]
-    pair_block = pair_block[first_real]
-    sorted_keys, sorted_blocks = jax.lax.sort(
-        (pair_key, pair_block.astype(jnp.int32)), num_keys=1
+    sorted_keys, sorted_idx = jax.lax.sort(
+        (pair_key, pair_idx), num_keys=1
     )
     counts = jnp.sum(
         pair_tile[:, None] == jnp.arange(n_tiles)[None, :], axis=0
@@ -181,28 +179,37 @@ def build_tile_candidates(
     slot = start[:, None] + jnp.arange(MAX_CT)[None, :]
     slot_c = jnp.clip(slot, 0, sorted_keys.shape[0] - 1)
     slot_ok = jnp.arange(MAX_CT)[None, :] < counts[:, None]
-    slot_block = sorted_blocks[slot_c]
+    slot_idx = sorted_idx[slot_c]  # compact (0..nv) candidate indices
 
-    # Prepared per-candidate constants, FIELD-MAJOR: gathering columns
-    # (take axis=1) is ~3x faster than gathering rows on this backend.
-    f_num = p[:, 3] - (n_w[:, 0] * t[0] + n_w[:, 1] * t[1] + n_w[:, 2] * t[2])
+    # Prepared per-candidate constants for the SELECTED rows only,
+    # FIELD-MAJOR (column take is ~3x faster than row gathers here).
+    # Stacking contiguous field slices then taking 4096 columns beats
+    # both the old full transpose and per-field 1-D gathers.
+    stacked = jnp.stack(
+        [nx_f, ny_f, nz_f, field(3), field(8), field(9), field(10),
+         field(7), field(6)],
+        axis=0,
+    )  # (9, nb)
+    sel_f = jnp.take(stacked, sel, axis=1)  # (9, nv)
+    s_nx, s_ny, s_nz = sel_f[0], sel_f[1], sel_f[2]
+    f_num = sel_f[3] - (s_nx * t[0] + s_ny * t[1] + s_nz * t[2])
     prep_t = jnp.stack(
         [
-            n_w[:, 0],
-            n_w[:, 1],
-            n_w[:, 2],
+            s_nx,
+            s_ny,
+            s_nz,
             f_num,
-            p[:, 8] - t[0],  # centroid - camera origin
-            p[:, 9] - t[1],
-            p[:, 10] - t[2],
-            p[:, 7] * p[:, 7],  # support radius^2
-            p[:, 6],  # sub-block id (seam masking)
-            jnp.ones_like(f_num),  # ok
+            sel_f[4] - t[0],  # centroid - camera origin
+            sel_f[5] - t[1],
+            sel_f[6] - t[2],
+            sel_f[7] * sel_f[7],  # support radius^2
+            sel_f[8],  # sub-block id (seam masking)
+            keep_s.astype(jnp.float32),  # ok
         ],
         axis=0,
-    )  # (10, nb)
+    )  # (10, nv)
 
-    cand_t = jnp.take(prep_t, slot_block.reshape(-1), axis=1)  # (10, n_tiles*MAX_CT)
+    cand_t = jnp.take(prep_t, slot_idx.reshape(-1), axis=1)  # (10, n_tiles*MAX_CT)
     cand = jnp.transpose(
         cand_t.reshape(prep_t.shape[0], n_tiles, MAX_CT), (1, 2, 0)
     )

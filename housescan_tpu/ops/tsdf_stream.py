@@ -70,6 +70,24 @@ CHUNK_Z = 128
 BIG = 1.0e9
 NSUB_C = CHUNK_Z // SUB_Z  # sub-blocks (planes) per chunk
 
+# Free-space saturation: once EVERY voxel of a chunk z-QUARTER (8, 8,
+# 32) has been carved to tsdf == +1 at least SAT_W times, further FREE
+# updates of that quarter are no-ops except for the weight count, so
+# the prepass can treat a free+saturated quarter like a behind one
+# (planes row FIELD_SAT, columns 0-3, carries the 4 quarter flags).
+# FREE chunks are ~80% of the listed set at steady state — this is the
+# integrate's largest saving. Quarter granularity matters: whole chunks
+# almost always contain SOME unobserved voxel (frustum edges), but
+# their fully-carved quarters saturate quickly. The only semantic
+# difference: free-space weights stop counting at ~SAT_W, which makes
+# later surface observations (moving geometry) adapt FASTER than the
+# reference's 128 cap, never slower. Any depth frame that brings a
+# surface into the quarter's footprint reclassifies the chunk
+# BAND/REFINE, and the visit recomputes the flags.
+SAT_W = 8.0
+N_QUARTERS = 4
+FIELD_SAT = 11  # planes row carrying the flags (rows 11-15 are spare)
+
 
 def planes_shape(resolution: int):
     nbx = resolution // 8
@@ -98,6 +116,7 @@ def _kernel(
     sign_scratch,  # VMEM (2, 8, CHUNK_Z): post-update obs min/max tiles
     super_z=2,  # chunks per work-list entry (2, or 1 when nzc is odd)
     ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
+    sat_w=SAT_W,
 ):
     step = pl.program_id(0)
     p = wl[step]
@@ -145,6 +164,7 @@ def _kernel(
                 nbx,
                 nzc,
                 ablate,
+                sat_w,
             )
 
 
@@ -164,6 +184,7 @@ def _process_half(
     nbx,
     nzc,
     ablate,
+    sat_w,
 ):
     cls = desc & 3
     level = (desc >> 2) & 3
@@ -229,33 +250,40 @@ def _process_half(
         return uf, vf, zc, in_view
 
     ones_t = jnp.ones((8, CHUNK_Z), jnp.float32)
+    big_t = jnp.full((8, CHUNK_Z), BIG, jnp.float32)
 
-    def _store_sign(mn_t, mx_t):
-        # Post-update observed-tsdf min/max for the crossing early-out —
-        # folded into the RMW loops (which read every voxel anyway), so
-        # the planes stage needs no second pass over the chunk.
+    def _store_sign(mn_t, mx_t, mn_w):
+        # Post-update observed-tsdf min/max (crossing early-out) and the
+        # chunk-min weight (free-space saturation flag) — folded into
+        # the RMW loops (which read every voxel anyway), so the planes
+        # stage needs no second pass over the chunk.
         sign_scratch[0, :, :] = mn_t
         sign_scratch[1, :, :] = mx_t
+        sign_scratch[2, :, :] = mn_w
 
     def _scan_sign():
         # Read-only sign scan for halves whose TSDF was not updated this
         # step (NOOP, or REFINE with nothing in view).
         def sbody(ix, carry):
-            mn_t, mx_t = carry
+            mn_t, mx_t, mn_w = carry
             t = t_ref(ix)
-            obs = w_ref(ix) > 0.0
+            w = w_ref(ix)
+            obs = w > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
-            return mn_t, mx_t
+            mn_w = jnp.minimum(mn_w, w)
+            return mn_t, mx_t, mn_w
 
-        mn_t, mx_t = jax.lax.fori_loop(0, 8, sbody, (ones_t, -ones_t))
-        _store_sign(mn_t, mx_t)
+        mn_t, mx_t, mn_w = jax.lax.fori_loop(
+            0, 8, sbody, (ones_t, -ones_t, big_t)
+        )
+        _store_sign(mn_t, mx_t, mn_w)
 
     def update_tiles(get_depth_tile):
         """RMW over the half-chunk's 8 x-slabs."""
 
         def body(ix, carry):
-            mn_t, mx_t = carry
+            mn_t, mx_t, mn_w = carry
             uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
             d, has_depth = get_depth_tile(uf, vf)
             sdf = d - zc
@@ -274,10 +302,13 @@ def _process_half(
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
-            return mn_t, mx_t
+            mn_w = jnp.minimum(mn_w, wnew)
+            return mn_t, mx_t, mn_w
 
-        mn_t, mx_t = jax.lax.fori_loop(0, 8, body, (ones_t, -ones_t))
-        _store_sign(mn_t, mx_t)
+        mn_t, mx_t, mn_w = jax.lax.fori_loop(
+            0, 8, body, (ones_t, -ones_t, big_t)
+        )
+        _store_sign(mn_t, mx_t, mn_w)
 
     if ablate == "copy":
         return
@@ -290,7 +321,7 @@ def _process_half(
         # divides are multi-pass); only the weight blend keeps one
         # divide.
         def body(ix, carry):
-            mn_t, mx_t = carry
+            mn_t, mx_t, mn_w = carry
             ix_f = ix.astype(jnp.float32)
             xw = ox + (ci * 8 + ix_f + 0.5) * vs
             yw = oy + (cj * 8 + iy_sub + 0.5) * vs
@@ -322,10 +353,13 @@ def _process_half(
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
-            return mn_t, mx_t
+            mn_w = jnp.minimum(mn_w, wnew)
+            return mn_t, mx_t, mn_w
 
-        mn_t, mx_t = jax.lax.fori_loop(0, 8, body, (ones_t, -ones_t))
-        _store_sign(mn_t, mx_t)
+        mn_t, mx_t, mn_w = jax.lax.fori_loop(
+            0, 8, body, (ones_t, -ones_t, big_t)
+        )
+        _store_sign(mn_t, mx_t, mn_w)
 
     def band_update(window, nrows, scale, v0f, u0f):
         """Exact bilinear depth from a (nrows, win_u) window.
@@ -553,9 +587,22 @@ def _process_half(
     # The update loops (or the NOOP scan above) folded the post-update
     # observed min/max into sign_scratch; one scalar reduce pair decides
     # the early-out.
-    may_cross = (jnp.min(sign_scratch[0, :, :]) < 0.0) & (
-        jnp.max(sign_scratch[1, :, :]) >= 0.0
+    mn_t_all = jnp.min(sign_scratch[0, :, :])
+    may_cross = (mn_t_all < 0.0) & (jnp.max(sign_scratch[1, :, :]) >= 0.0)
+    # Per-z-quarter free-space saturation: every voxel of the (8, 8, 32)
+    # quarter carved to +1 at least SAT_W times -> the prepass may treat
+    # the quarter as behind whenever it classifies free.
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1) // (
+        CHUNK_Z // N_QUARTERS
     )
+    sat_q = []
+    for q in range(N_QUARTERS):
+        in_q = lane_q == q
+        q_minw = jnp.min(jnp.where(in_q, sign_scratch[2, :, :], BIG))
+        q_mint = jnp.min(jnp.where(in_q, sign_scratch[0, :, :], BIG))
+        sat_q.append(
+            ((q_minw >= sat_w) & (q_mint > 0.999)).astype(jnp.float32)
+        )
 
     class _Chan:
         """Channel view of this half of the packed block for
@@ -570,6 +617,14 @@ def _process_half(
             return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z].astype(
                 jnp.float32
             )
+
+    f_row = jax.lax.broadcasted_iota(jnp.int32, (N_FIELDS, NSUB_C), 0)
+    f_col = jax.lax.broadcasted_iota(jnp.int32, (N_FIELDS, NSUB_C), 1)
+    sat_row = jnp.zeros((N_FIELDS, NSUB_C), jnp.float32)
+    for q in range(N_QUARTERS):
+        sat_row = jnp.where(
+            (f_row == FIELD_SAT) & (f_col == q), sat_q[q], sat_row
+        )
 
     @pl.when(may_cross)
     def _():
@@ -587,13 +642,16 @@ def _process_half(
             k=ckc,
             nzc=nzc,
         )
-        planes_out[0, 0, h, :, :] = fields
+        # Surface quarters have crossings (not saturated-free), but the
+        # OTHER quarters of a crossing chunk can still saturate — keep
+        # their flags.
+        planes_out[0, 0, h, :, :] = jnp.where(
+            f_row == FIELD_SAT, sat_row, fields
+        )
 
     @pl.when(~may_cross)
     def _():
-        planes_out[0, 0, h, :, :] = jnp.zeros(
-            (N_FIELDS, NSUB_C), jnp.float32
-        )
+        planes_out[0, 0, h, :, :] = sat_row
 
 
 def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
@@ -632,7 +690,9 @@ def build_depth_mips(depth: jnp.ndarray):
 
 
 @partial(
-    jax.jit, static_argnames=("intr", "interpret", "ablate"), donate_argnums=(0, 1)
+    jax.jit,
+    static_argnames=("intr", "interpret", "ablate", "sat_w"),
+    donate_argnums=(0, 1),
 )
 def tsdf_integrate_stream(
     vol: TsdfVolume,
@@ -643,6 +703,7 @@ def tsdf_integrate_stream(
     max_weight: float = 128.0,
     interpret: bool = False,
     ablate: str = "none",
+    sat_w: float = SAT_W,
 ):
     """Work-list TSDF integrate + persistent plane refresh.
 
@@ -658,8 +719,16 @@ def tsdf_integrate_stream(
     super_z = 2 if nzc % 2 == 0 else 1
 
     depth = depth.astype(jnp.float32)
+    # Persistent free-space saturation flags (written by this kernel on
+    # every visit, planes row FIELD_SAT cols 0-3): free+saturated
+    # quarters are treated as behind by the prepass.
+    sat_q = (
+        planes[:, :, :, FIELD_SAT, :N_QUARTERS].reshape(-1, N_QUARTERS)
+        > 0.5
+    )
     wl = build_worklist(
-        depth, pose, intr, r, vol.voxel_size, vol.origin, vol.trunc
+        depth, pose, intr, r, vol.voxel_size, vol.origin, vol.trunc,
+        sat_quarters=sat_q,
     )
     m0, m1, m2, m0s, m1s, m2s, l3 = build_depth_mips(depth)
 
@@ -713,11 +782,11 @@ def tsdf_integrate_stream(
             pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
             pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
         ],
-        scratch_shapes=[pltpu.VMEM((2, 8, CHUNK_Z), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((3, 8, CHUNK_Z), jnp.float32)],
     )
 
     out_data, out_planes = pl.pallas_call(
-        partial(_kernel, super_z=super_z, ablate=ablate),
+        partial(_kernel, super_z=super_z, ablate=ablate, sat_w=sat_w),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),

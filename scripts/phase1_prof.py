@@ -19,7 +19,9 @@ from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
 from housescan_tpu.kinfu.synthetic import furnished_room, orbit_poses, render_depth_stream
 from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z
-from housescan_tpu.ops.raycast_tiles import MAX_CT, MAX_PAIRS, MAX_REAL_PAIRS, N_PREP
+from housescan_tpu.ops.raycast_tiles import MAX_CT, MAX_PAIRS, N_PREP
+
+MAX_REAL_PAIRS = 65536  # the OLD pipeline's cap (inlined stages below measure it)
 
 RES = int(os.environ.get("HOUSESCAN_BENCH_RES", "512"))
 W, H = 640, 480

@@ -352,6 +352,84 @@ class TestNoopHalfPlanes:
         )
 
 
+class TestFreeSaturation:
+    def test_saturated_free_quarters_shrink_worklist(self):
+        """After SAT_W identical frames, fully-carved free z-quarters
+        carry the saturation flag and chunks whose every visible quarter
+        is saturated/behind drop out of the work list; the tsdf field
+        stays exactly equal to the unsaturated path's (only the
+        free-space weight count freezes)."""
+        from housescan_tpu.kinfu.synthetic import render_depth_stream
+        from housescan_tpu.ops.tsdf_stream import (
+            FIELD_SAT,
+            N_QUARTERS,
+            tsdf_integrate_stream,
+        )
+
+        # Empty room, camera at one end looking down +z: deep clear free
+        # space whose (8, 8, 32) quarters fully saturate. 256^3 keeps
+        # quarter z-extent at 0.375 m (128^3 quarters span 0.75 m and
+        # almost always clip a surface).
+        res, sat_w = 256, 3.0
+        pose = np.eye(4, dtype=np.float32)
+        pose[3, 2] = -1.2
+        d0 = jnp.asarray(render_depth_stream(INTR, [pose], 1.5)[0])
+        p0 = jnp.asarray(pose)
+        vol = tsdf_new(res, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(res), jnp.float32)
+
+        n_frames = int(sat_w) + 3
+        for _ in range(n_frames):
+            vol, planes = tsdf_integrate_stream(
+                jax.tree_util.tree_map(jnp.copy, vol),
+                jnp.copy(planes),
+                d0,
+                p0,
+                INTR,
+                interpret=True,
+                sat_w=sat_w,
+            )
+
+        sat = np.asarray(planes)[:, :, :, FIELD_SAT, :N_QUARTERS] > 0.5
+        assert sat.sum() > 50, sat.sum()
+
+        # Gating semantics: with every quarter marked saturated, the
+        # prepass must treat free quarters as behind — no FREE entries
+        # survive, and the listed set shrinks. (A real count reduction
+        # needs nzc > 2 so free superchunks exist without a surface
+        # quarter — i.e. 512^3 geometry, exercised by the bench.)
+        base = build_worklist(
+            d0, p0, INTR, res, vol.voxel_size, vol.origin, vol.trunc
+        )
+        all_sat = jnp.ones(
+            ((res // 8) ** 2 * (res // 128), N_QUARTERS), bool
+        )
+        gated = build_worklist(
+            d0, p0, INTR, res, vol.voxel_size, vol.origin, vol.trunc,
+            sat_quarters=all_sat,
+        )
+        n_free_base = sum(1 for r in decode_worklist(base) if r[3] == 0)
+        n_free_gated = sum(1 for r in decode_worklist(gated) if r[3] == 0)
+        assert n_free_base > 100
+        assert n_free_gated == 0
+        assert int(gated.count[0]) < int(base.count[0])
+
+        # Saturated quarters must be genuinely free everywhere: every
+        # voxel carved at least sat_w times to (numerically) +1. That
+        # is the invariant that makes skipping them a no-op.
+        nbx = res // 8
+        w = np.asarray(vol.weight).reshape(
+            nbx, 8, nbx, 8, res // 128, N_QUARTERS, 32
+        )
+        t = np.asarray(vol.tsdf).reshape(
+            nbx, 8, nbx, 8, res // 128, N_QUARTERS, 32
+        )
+        w_min = w.min(axis=(1, 3, 6))  # (ci, cj, ck, quarter)
+        t_min = t.min(axis=(1, 3, 6))
+        assert (w_min[sat] >= sat_w).all()
+        assert (t_min[sat] > 0.999).all()
+
+
 class TestBf16Volume:
     def test_bf16_parity_with_f32(self):
         """bfloat16 volume storage: quantization near the zero crossing
