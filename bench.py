@@ -62,6 +62,10 @@ def main() -> None:
         size_m=3.0,
         trunc=0.03,
         init_pose=jnp.asarray(poses[0]),
+        # int16-packed volume: tsdf<<16|weight in one int32 — halves the
+        # integrate's HBM traffic (its dominant cost) at 3e-5 tsdf
+        # quantization and bit-exact weights (kinfu/tsdf.py pack_tw).
+        dtype=jnp.int32,
     )
 
     use_pallas = jax.default_backend() != "cpu" and resolution % 128 == 0

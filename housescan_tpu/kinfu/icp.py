@@ -270,6 +270,7 @@ def icp_track(
     init_pose: jnp.ndarray = None,
     windows: Sequence[int] = (0, 2, 4),
     dampings: Sequence[float] = (3e-4, 3e-3, 1e-2),
+    use_pallas: bool = False,
 ) -> IcpResult:
     """Track the camera for one frame over the pyramid.
 
@@ -296,6 +297,41 @@ def icp_track(
         # Model-map gradients are fixed for the whole frame: compute them
         # once per level, outside the GN while_loop.
         grads = _model_gradients(model_vertices[level], model_valid[level])
+
+        if use_pallas:
+            # One fused launch per level: every GN iteration (assoc +
+            # residual + 6x6 reduce + solve + compose) runs inside a
+            # single kernel with the pose in SMEM — the XLA loop pays
+            # ~150-600us of op-issue latency PER ITERATION on this
+            # backend (ops/icp_pallas.py).
+            from housescan_tpu.ops.icp_pallas import (
+                icp_level_pallas,
+                pack_level_maps,
+            )
+
+            packed = pack_level_maps(
+                live_vertices[level],
+                live_normals[level],
+                model_vertices[level],
+                model_normals[level],
+                model_valid[level],
+                grads,
+            )
+            pose, lvl_rmse, lvl_corr = icp_level_pallas(
+                packed,
+                pose,
+                prev_pose,
+                lvl_intr,
+                n_iters=iters,
+                window=win,
+                dist_threshold=dist_threshold,
+                angle_threshold=angle_threshold,
+                damping=damp,
+            )
+            use = lvl_corr > 0
+            rmse = jnp.where(use, lvl_rmse, rmse)
+            n_corr = jnp.where(use, lvl_corr, n_corr)
+            continue
 
         # Iterate until the twist increment is negligible (the usual
         # case after 3-5 iterations) or the level's budget runs out —

@@ -176,6 +176,7 @@ def kinfu_step(
         dist_threshold=dist_threshold,
         angle_threshold=angle_threshold,
         init_pose=init_pose,
+        use_pallas=use_pallas,
     )
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)

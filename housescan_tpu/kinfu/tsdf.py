@@ -25,31 +25,65 @@ from housescan_tpu.config import TsdfConfig
 from housescan_tpu.kinfu.camera import Intrinsics
 
 
+# int16-packed storage: tsdf quantized to [-32767, 32767] in the HIGH
+# half of an int32, integer weight (<= 65535; KinFu caps at 128) in the
+# LOW half. Halves the integrate's HBM traffic (its dominant cost at
+# 512^3: ~4.3 GB/frame of block reads+writes) at 3.05e-5 tsdf
+# quantization — sub-micrometer at a 3 cm truncation band, ~150x finer
+# than bfloat16 — with bit-exact weights.
+PACKED_SCALE = 32767.0
+
+
+def pack_tw(t: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    ti = jnp.round(jnp.clip(t, -1.0, 1.0) * PACKED_SCALE).astype(jnp.int32)
+    return (ti << 16) | w.astype(jnp.int32)
+
+
+def unpack_t(data: jnp.ndarray) -> jnp.ndarray:
+    # arithmetic shift keeps the sign; the low (weight) bits drop out
+    return (data >> 16).astype(jnp.float32) * (1.0 / PACKED_SCALE)
+
+
+def unpack_w(data: jnp.ndarray) -> jnp.ndarray:
+    return (data & 0xFFFF).astype(jnp.float32)
+
+
 class TsdfVolume(NamedTuple):
     """TSDF + weight grids with geometry metadata (a pytree; the float
     metadata rides along as 0-d arrays so the whole volume shards/jits
     cleanly).
 
-    Storage is PACKED: ``data[0]`` is the tsdf grid, ``data[1]`` the
-    weight grid, one (2, X, Y, Z) array. The streaming integrate moves
-    both grids through one (2, 8, 8, 128) block per chunk — on this
-    backend every extra Pallas buffer costs ~90ns of per-step DMA
-    bookkeeping, which at 16K grid steps was ~1.8ms/frame of pure
-    overhead for the split layout. ``tsdf`` / ``weight`` remain as
-    (lazy slice) properties; under jit they fuse into consumers.
+    Storage is PACKED one of two ways:
+      * float: ``data[0]`` is the tsdf grid, ``data[1]`` the weight
+        grid, one (2, X, Y, Z) f32/bf16 array. The streaming integrate
+        moves both grids through one block per chunk — on this backend
+        every extra Pallas buffer costs per-step DMA bookkeeping.
+      * int16-in-int32 (``data.ndim == 3``): one (X, Y, Z) int32 array,
+        tsdf<<16 | weight (see pack_tw) — half the bytes of f32, the
+        production layout for the Pallas integrate.
+    ``tsdf`` / ``weight`` remain as (lazy) properties; under jit they
+    fuse into consumers.
     """
 
-    data: jnp.ndarray  # (2, X, Y, Z): [tsdf in [-1, 1], weight >= 0]
+    data: jnp.ndarray  # (2, X, Y, Z) float or (X, Y, Z) packed int32
     origin: jnp.ndarray  # (3,) world position of the volume min corner
     voxel_size: jnp.ndarray  # () meters per voxel
     trunc: jnp.ndarray  # () truncation distance in meters
 
     @property
+    def packed_i32(self) -> bool:
+        return self.data.ndim == 3
+
+    @property
     def tsdf(self) -> jnp.ndarray:
+        if self.data.ndim == 3:
+            return unpack_t(self.data)
         return self.data[0]
 
     @property
     def weight(self) -> jnp.ndarray:
+        if self.data.ndim == 3:
+            return unpack_w(self.data)
         return self.data[1]
 
     @property
@@ -60,12 +94,16 @@ class TsdfVolume(NamedTuple):
     def dims(self):
         """Per-axis voxel counts; shards of a mesh-distributed volume are
         non-cubic (e.g. an X-slab), so samplers use dims, not resolution."""
+        if self.data.ndim == 3:
+            return self.data.shape
         return self.data.shape[1:]
 
     def replace_grids(self, tsdf=None, weight=None) -> "TsdfVolume":
-        """New volume with either grid swapped (stacks into ``data``)."""
-        t = self.data[0] if tsdf is None else tsdf
-        w = self.data[1] if weight is None else weight
+        """New volume with either grid swapped (re-packs into ``data``)."""
+        t = self.tsdf if tsdf is None else tsdf
+        w = self.weight if weight is None else weight
+        if self.data.ndim == 3:
+            return self._replace(data=pack_tw(t, w))
         return self._replace(data=jnp.stack([t, w]))
 
 
@@ -91,12 +129,16 @@ def tsdf_new(
     pass an explicit origin."""
     if origin is None:
         origin = jnp.full((3,), -size_m / 2.0, jnp.float32)
-    data = jnp.concatenate(
-        [
-            jnp.ones((1,) + (resolution,) * 3, dtype),  # +1 = far free space
-            jnp.zeros((1,) + (resolution,) * 3, dtype),
-        ]
-    )
+    if dtype == jnp.int32:
+        # int16-packed layout: tsdf=+1 (far free space), weight=0
+        data = jnp.full((resolution,) * 3, jnp.int32(32767) << 16, jnp.int32)
+    else:
+        data = jnp.concatenate(
+            [
+                jnp.ones((1,) + (resolution,) * 3, dtype),  # +1 = far free
+                jnp.zeros((1,) + (resolution,) * 3, dtype),
+            ]
+        )
     return TsdfVolume(
         data=data,
         origin=jnp.asarray(origin, jnp.float32),
@@ -106,7 +148,10 @@ def tsdf_new(
 
 
 def from_config(cfg: TsdfConfig, origin=None) -> TsdfVolume:
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    dtype = {
+        "bfloat16": jnp.bfloat16,
+        "packed_i16": jnp.int32,
+    }.get(cfg.dtype, jnp.float32)
     return tsdf_new(cfg.resolution, cfg.size_m, cfg.trunc_dist, origin, dtype)
 
 

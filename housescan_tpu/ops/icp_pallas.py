@@ -1,0 +1,346 @@
+"""Whole-level fused ICP: every Gauss-Newton iteration in ONE kernel.
+
+The XLA ICP level loop costs ~150-600 us PER ITERATION on this backend:
+~40 tensor ops of issue latency, a separate solve kernel launch, and
+while_loop glue — across ~19 iterations that is ~3 ms/frame, second
+only to the integrate. All of the per-iteration inputs (live pyramid,
+model maps, model gradients) are ITERATION-INVARIANT; only the 4x4 pose
+changes. So the whole level runs as one Pallas launch:
+
+  * grid = (n_iters, n_row_bands). The packed (19, H, W) map tensor
+    streams band blocks per step; the pose, the 6x6 normal-equation
+    accumulators, and the convergence flag live in SMEM scratch across
+    the entire grid.
+  * Each band step computes the full projective-association residual
+    pipeline for its rows (linearized sub-pixel association along the
+    precomputed model gradients, exactly kinfu/icp.py's math) and
+    accumulates the 29 reduction scalars (21 A entries, 6 b, residual
+    sq, correspondence count) into SMEM.
+  * The LAST band step of each iteration runs the damped 6x6
+    solve + twist exponential + pose compose INLINE (the shared scalar
+    code of ops/solve6_pallas.py) and updates the SMEM pose. Early
+    exit: once the step norm drops below tolerance, remaining steps
+    skip their compute (their DMAs still stream).
+
+Packed row layout (f32): 0-2 live vertex xyz (camera frame), 3-5 live
+normal xyz, 6-8 model vertex xyz (world), 9-11 model normal xyz,
+12 model valid, 13-15 d(model_v)/du, 16-18 d(model_v)/dv. Rows/cols
+beyond the true image are zero (valid=0 kills them).
+
+Reference: replaces PCL KinFu's per-level ICP estimator loop
+(ref README.md:14); numerics match kinfu/icp._icp_level_iteration.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from housescan_tpu.kinfu.camera import Intrinsics
+from housescan_tpu.ops.solve6_pallas import _solve_twist_math
+
+N_ROWS = 19
+BAND_H = 32
+N_ACC = 29  # 21 A-upper + 6 b + sq + n_corr
+
+
+def _kernel(
+    params,  # SMEM: prev_pose R/t (12), fx fy cx cy (4), gate, dist2,
+    #          sin2, huber, damping, max_step, h_valid, w_valid (8)
+    maps,  # VMEM (N_ROWS, BAND_H, Wp) band block
+    pose0,  # SMEM (1, 16) initial pose
+    out,  # SMEM (1, 24): pose 16, rmse, n_corr, iters, step_norm
+    acc,  # SMEM scratch (1, N_ACC + 4): accumulators + [pose-state]
+    pose_s,  # SMEM scratch (1, 16): current pose
+    flags,  # SMEM scratch (1, 4): 0 converged, 1 last rmse, 2 last corr, 3 iters
+    *,
+    n_bands,
+    n_iters,
+    wp,
+):
+    it = pl.program_id(0)
+    band = pl.program_id(1)
+
+    pr00, pr01, pr02 = params[0], params[1], params[2]
+    pr10, pr11, pr12 = params[3], params[4], params[5]
+    pr20, pr21, pr22 = params[6], params[7], params[8]
+    ptx, pty, ptz = params[9], params[10], params[11]
+    fx, fy, cx, cy = params[12], params[13], params[14], params[15]
+    gate = params[16]
+    dist2 = params[17]
+    sin2 = params[18]
+    huber = params[19]
+    damping = params[20]
+    max_step = params[21]
+    h_valid = params[22]
+    w_valid = params[23]
+
+    @pl.when((it == 0) & (band == 0))
+    def _init():
+        for i in range(16):
+            pose_s[0, i] = pose0[0, i]
+        flags[0, 0] = 0.0
+        flags[0, 1] = 0.0
+        flags[0, 2] = 0.0
+        flags[0, 3] = 0.0
+
+    converged = flags[0, 0] > 0.5
+
+    @pl.when((band == 0) & ~converged)
+    def _reset():
+        for i in range(N_ACC):
+            acc[0, i] = 0.0
+
+    @pl.when(~converged)
+    def _band():
+        r00, r01, r02 = pose_s[0, 0], pose_s[0, 1], pose_s[0, 2]
+        r10, r11, r12 = pose_s[0, 4], pose_s[0, 5], pose_s[0, 6]
+        r20, r21, r22 = pose_s[0, 8], pose_s[0, 9], pose_s[0, 10]
+        tx, ty, tz = pose_s[0, 12], pose_s[0, 13], pose_s[0, 14]
+
+        lvx = maps[0]
+        lvy = maps[1]
+        lvz = maps[2]
+        lnx = maps[3]
+        lny = maps[4]
+        lnz = maps[5]
+        mvx = maps[6]
+        mvy = maps[7]
+        mvz = maps[8]
+        mnx = maps[9]
+        mny = maps[10]
+        mnz = maps[11]
+        mok = maps[12]
+        gux = maps[13]
+        guy = maps[14]
+        guz = maps[15]
+        gvx = maps[16]
+        gvy = maps[17]
+        gvz = maps[18]
+
+        # world transform of the live maps (row-vector: v @ R + t)
+        vwx = lvx * r00 + lvy * r10 + lvz * r20 + tx
+        vwy = lvx * r01 + lvy * r11 + lvz * r21 + ty
+        vwz = lvx * r02 + lvy * r12 + lvz * r22 + tz
+        nwx = lnx * r00 + lny * r10 + lnz * r20
+        nwy = lnx * r01 + lny * r11 + lnz * r21
+        nwz = lnx * r02 + lny * r12 + lnz * r22
+        live_ok = (lvz > 0.0) & (lnx * lnx + lny * lny + lnz * lnz > 0.25)
+
+        # project into the PREVIOUS camera (v_pc = (v_w - p_t) @ pR.T)
+        dxw = vwx - ptx
+        dyw = vwy - pty
+        dzw = vwz - ptz
+        xc = dxw * pr00 + dyw * pr01 + dzw * pr02
+        yc = dxw * pr10 + dyw * pr11 + dzw * pr12
+        zc = dxw * pr20 + dyw * pr21 + dzw * pr22
+        safe_z = jnp.where(zc > 1e-6, zc, 1.0)
+        u = fx * xc / safe_z + cx
+        v = fy * yc / safe_z + cy
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (BAND_H, wp), 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (BAND_H, wp), 1)
+        py = (band * BAND_H + rows_i).astype(jnp.float32)
+        px = cols_i.astype(jnp.float32)
+        in_img = (py < h_valid) & (px < w_valid)
+        inb = (
+            (zc > 1e-6)
+            & (u >= 0.0)
+            & (u <= w_valid - 1.0)
+            & (v >= 0.0)
+            & (v <= h_valid - 1.0)
+        )
+
+        du = u - px
+        dv = v - py
+        near = (jnp.abs(du) <= gate) & (jnp.abs(dv) <= gate)
+        m_ok = (mok > 0.5) & near
+
+        # linearized sub-pixel association along model gradients
+        amx = mvx + gux * du + gvx * dv
+        amy = mvy + guy * du + gvy * dv
+        amz = mvz + guz * du + gvz * dv
+
+        ddx = vwx - amx
+        ddy = vwy - amy
+        ddz = vwz - amz
+        dist_ok = ddx * ddx + ddy * ddy + ddz * ddz < dist2
+        # sin(angle) between normals via cross product norm
+        cxn = nwy * mnz - nwz * mny
+        cyn = nwz * mnx - nwx * mnz
+        czn = nwx * mny - nwy * mnx
+        angle_ok = cxn * cxn + cyn * cyn + czn * czn < sin2
+        corr = live_ok & inb & m_ok & dist_ok & angle_ok & in_img
+
+        # point-to-plane rows g = [v_w x n_m, n_m], r = n_m . (m_v - v_w)
+        g0 = vwy * mnz - vwz * mny
+        g1 = vwz * mnx - vwx * mnz
+        g2 = vwx * mny - vwy * mnx
+        r_ = mnx * -ddx + mny * -ddy + mnz * -ddz
+
+        w_rob = jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(r_), 1e-9))
+        rx = amx - ptx
+        ry = amy - pty
+        rz = amz - ptz
+        rn = jnp.sqrt(
+            jnp.maximum(rx * rx + ry * ry + rz * rz, 1e-18)
+        )
+        incidence = jnp.maximum(
+            -(mnx * rx + mny * ry + mnz * rz) / rn, 0.0
+        )
+        w = corr.astype(jnp.float32) * w_rob * incidence * incidence
+
+        wg = [w * g0, w * g1, w * g2, w * mnx, w * mny, w * mnz]
+        wr = w * r_
+
+        # 21 A-upper + 6 b + sq + count, accumulated on the scalar core
+        k = 0
+        for i in range(6):
+            for j in range(i, 6):
+                acc[0, k] = acc[0, k] + jnp.sum(wg[i] * wg[j])
+                k += 1
+        for i in range(6):
+            acc[0, 21 + i] = acc[0, 21 + i] + jnp.sum(wg[i] * wr)
+        acc[0, 27] = acc[0, 27] + jnp.sum(wr * wr)
+        acc[0, 28] = acc[0, 28] + jnp.sum(corr.astype(jnp.float32))
+
+    @pl.when((band == n_bands - 1) & ~converged)
+    def _solve():
+        # mirror the upper triangle into a row-major 6x6
+        a_flat = [None] * 36
+        k = 0
+        for i in range(6):
+            for j in range(i, 6):
+                a_flat[i * 6 + j] = acc[0, k]
+                a_flat[j * 6 + i] = acc[0, k]
+                k += 1
+        b_vec = [acc[0, 21 + i] for i in range(6)]
+        pose_flat = [pose_s[0, i] for i in range(16)]
+        res = _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step)
+        for i in range(16):
+            pose_s[0, i] = res[i]
+        norm = res[16]
+        n_corr = acc[0, 28]
+        rmse = jnp.sqrt(acc[0, 27] / jnp.maximum(n_corr, 1.0))
+        flags[0, 1] = rmse
+        flags[0, 2] = n_corr
+        flags[0, 3] = flags[0, 3] + 1.0
+        flags[0, 0] = jnp.where(norm <= 1e-5, 1.0, 0.0)
+
+    @pl.when((it == n_iters - 1) & (band == n_bands - 1))
+    def _finish():
+        for i in range(16):
+            out[0, i] = pose_s[0, i]
+        out[0, 16] = flags[0, 1]
+        out[0, 17] = flags[0, 2]
+        out[0, 18] = flags[0, 3]
+        for i in range(19, 24):
+            out[0, i] = 0.0
+
+
+def pack_level_maps(
+    live_vertices: jnp.ndarray,  # (H, W, 3)
+    live_normals: jnp.ndarray,
+    model_vertices: jnp.ndarray,
+    model_normals: jnp.ndarray,
+    model_valid: jnp.ndarray,
+    grads,  # (gu, gv) each (H, W, 3)
+) -> jnp.ndarray:
+    """(19, Hp, Wp) packed input tensor, zero padded to (BAND_H, 128)."""
+    h, w = model_valid.shape
+    gu, gv = grads
+    rows = [
+        live_vertices[..., 0], live_vertices[..., 1], live_vertices[..., 2],
+        live_normals[..., 0], live_normals[..., 1], live_normals[..., 2],
+        model_vertices[..., 0], model_vertices[..., 1], model_vertices[..., 2],
+        model_normals[..., 0], model_normals[..., 1], model_normals[..., 2],
+        model_valid.astype(jnp.float32),
+        gu[..., 0], gu[..., 1], gu[..., 2],
+        gv[..., 0], gv[..., 1], gv[..., 2],
+    ]
+    packed = jnp.stack(rows, axis=0)
+    hp = -(-h // BAND_H) * BAND_H
+    wp = -(-w // 128) * 128
+    if (hp, wp) != (h, w):
+        packed = jnp.pad(packed, ((0, 0), (0, hp - h), (0, wp - w)))
+    return packed
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "intr", "n_iters", "window", "dist_threshold", "angle_threshold",
+        "damping", "max_step", "interpret",
+    ),
+)
+def icp_level_pallas(
+    packed: jnp.ndarray,  # (19, Hp, Wp) from pack_level_maps
+    pose: jnp.ndarray,  # (4, 4) initial estimate
+    prev_pose: jnp.ndarray,  # (4, 4) model render pose
+    intr: Intrinsics,  # intrinsics of THIS level
+    n_iters: int,
+    window: int = 0,
+    dist_threshold: float = 0.10,
+    angle_threshold: float = 0.5236,
+    damping: float = 3e-4,
+    max_step: float = 0.3,
+    interpret: bool = False,
+):
+    """Run one pyramid level's GN iterations fused. Returns
+    (pose, rmse, n_corr) like one level of kinfu/icp.icp_track."""
+    _, hp, wp = packed.shape
+    assert hp % BAND_H == 0 and wp % 128 == 0
+    n_bands = hp // BAND_H
+    gate = 1.5 if window == 0 else float(window)
+
+    import numpy as np
+
+    prot = prev_pose[:3, :3]
+    pt = prev_pose[3, :3]
+    params = jnp.concatenate(
+        [
+            prot.reshape(-1),
+            pt.reshape(-1),
+            jnp.array(
+                [
+                    intr.fx, intr.fy, intr.cx, intr.cy,
+                    gate,
+                    dist_threshold * dist_threshold,
+                    float(np.sin(angle_threshold)) ** 2,
+                    0.02,
+                    damping,
+                    max_step,
+                    intr.height, intr.width,
+                ],
+                jnp.float32,
+            ),
+            jnp.zeros((8,), jnp.float32),
+        ]
+    ).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        partial(_kernel, n_bands=n_bands, n_iters=n_iters, wp=wp),
+        grid=(n_iters, n_bands),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (N_ROWS, BAND_H, wp),
+                lambda it, b: (0, b, 0),
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 24), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1, N_ACC + 4), jnp.float32),
+            pltpu.SMEM((1, 16), jnp.float32),
+            pltpu.SMEM((1, 4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(params, packed, pose.reshape(1, 16))
+
+    return out[0, :16].reshape(4, 4), out[0, 16], out[0, 17].astype(jnp.int32)

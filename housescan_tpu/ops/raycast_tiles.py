@@ -78,7 +78,7 @@ def build_tile_candidates(
         farthest-first.
     """
     nbx = planes.shape[0]
-    nsub = vol.tsdf.shape[2] // SUB_Z
+    nsub = vol.dims[2] // SUB_Z
     nb = nbx * nbx * nsub
     n_bands = intr.height // 8
     n_ut = -(-intr.width // 128)

@@ -205,19 +205,38 @@ def _process_half(
 
     zlo = h * CHUNK_Z  # static lane offset of this half in the block
 
-    vdt = vol_out.dtype  # f32 or bf16 storage; all math is f32
+    if len(vol_out.shape) == 3:
+        # int16-packed int32 layout: tsdf<<16 | weight (kinfu/tsdf.py
+        # pack_tw) — half the block bytes of the f32 layout, which are
+        # the integrate's dominant cost at 512^3.
+        def t_ref(ix):
+            v = vol_out[ix, :, zlo : zlo + CHUNK_Z]
+            return (v >> 16).astype(jnp.float32) * (1.0 / 32767.0)
 
-    def t_ref(ix):
-        return vol_out[0, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+        def w_ref(ix):
+            v = vol_out[ix, :, zlo : zlo + CHUNK_Z]
+            return (v & 0xFFFF).astype(jnp.float32)
 
-    def w_ref(ix):
-        return vol_out[1, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+        def tw_set(ix, t, w):
+            ti = jnp.round(jnp.clip(t, -1.0, 1.0) * 32767.0).astype(
+                jnp.int32
+            )
+            vol_out[ix, :, zlo : zlo + CHUNK_Z] = (ti << 16) | w.astype(
+                jnp.int32
+            )
 
-    def t_set(ix, v):
-        vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = v.astype(vdt)
+    else:
+        vdt = vol_out.dtype  # f32 or bf16 storage; all math is f32
 
-    def w_set(ix, v):
-        vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = v.astype(vdt)
+        def t_ref(ix):
+            return vol_out[0, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+
+        def w_ref(ix):
+            return vol_out[1, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+
+        def tw_set(ix, t, w):
+            vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = t.astype(vdt)
+            vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = w.astype(vdt)
 
     zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
         jnp.float32
@@ -297,8 +316,7 @@ def _process_half(
             denom = jnp.maximum(wold + wadd, 1.0)
             tnew = (told * wold + sample * wadd) / denom
             tcur = jnp.where(update, tnew, told)
-            t_set(ix, tcur)
-            w_set(ix, wnew)
+            tw_set(ix, tcur, wnew)
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
@@ -348,8 +366,7 @@ def _process_half(
             denom = jnp.maximum(wold + wadd, 1.0)
             tnew = (told * wold + wadd) / denom
             tcur = jnp.where(iv, tnew, told)
-            t_set(ix, tcur)
-            w_set(ix, wnew)
+            tw_set(ix, tcur, wnew)
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
@@ -605,18 +622,17 @@ def _process_half(
         )
 
     class _Chan:
-        """Channel view of this half of the packed block for
-        plane_fields_for_block (needs ``ref[ix] -> (8, nz)`` reads
-        and ``.shape[2]``)."""
+        """Accessor view of this half of the block for
+        plane_fields_for_block (needs ``ref[ix] -> (8, nz)`` f32 reads
+        and ``.shape[2]``); wraps t_ref / w_ref so both the float and
+        int16-packed layouts decode transparently."""
 
-        def __init__(self, c):
-            self.c = c
+        def __init__(self, fn):
+            self.fn = fn
             self.shape = (8, 8, CHUNK_Z)
 
         def __getitem__(self, ix):
-            return vol_out[self.c, ix, :, zlo : zlo + CHUNK_Z].astype(
-                jnp.float32
-            )
+            return self.fn(ix)
 
     f_row = jax.lax.broadcasted_iota(jnp.int32, (N_FIELDS, NSUB_C), 0)
     f_col = jax.lax.broadcasted_iota(jnp.int32, (N_FIELDS, NSUB_C), 1)
@@ -629,8 +645,8 @@ def _process_half(
     @pl.when(may_cross)
     def _():
         fields = plane_fields_for_block(
-            _Chan(0),
-            _Chan(1),
+            _Chan(t_ref),
+            _Chan(w_ref),
             ci,
             cj,
             vs=vs,
@@ -712,7 +728,11 @@ def tsdf_integrate_stream(
     """
     r = vol.resolution
     assert r % 8 == 0 and r % CHUNK_Z == 0, "volume must tile (8,8,128)"
-    assert vol.data.dtype in (jnp.float32, jnp.bfloat16)
+    packed = vol.data.ndim == 3
+    if packed:
+        assert vol.data.dtype == jnp.int32, vol.data.dtype
+    else:
+        assert vol.data.dtype in (jnp.float32, jnp.bfloat16)
     nbx = r // 8
     nzc = r // CHUNK_Z
     assert planes.shape == planes_shape(r), planes.shape
@@ -751,8 +771,16 @@ def tsdf_integrate_stream(
 
     n_entries = nbx * nbx * (nzc // super_z)
 
-    def im_vol(s, wl, bi, bj, bk, cnt):
-        return (0, bi[s], bj[s], bk[s])
+    if packed:
+        def im_vol(s, wl, bi, bj, bk, cnt):
+            return (bi[s], bj[s], bk[s])
+
+        vol_block = (8, 8, CHUNK_Z * super_z)
+    else:
+        def im_vol(s, wl, bi, bj, bk, cnt):
+            return (0, bi[s], bj[s], bk[s])
+
+        vol_block = (2, 8, 8, CHUNK_Z * super_z)
 
     def im_planes(s, wl, bi, bj, bk, cnt):
         return (bi[s], bj[s], bk[s], 0, 0)
@@ -769,7 +797,7 @@ def tsdf_integrate_stream(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
+            pl.BlockSpec(vol_block, im_vol),
             # planes_in exists only to alias planes_out (the kernel never
             # reads it): a CONSTANT index_map fires its block DMA once
             # instead of per step.
@@ -779,7 +807,7 @@ def tsdf_integrate_stream(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((2, 8, 8, CHUNK_Z * super_z), im_vol),
+            pl.BlockSpec(vol_block, im_vol),
             pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
         ],
         scratch_shapes=[pltpu.VMEM((3, 8, CHUNK_Z), jnp.float32)],

@@ -209,6 +209,72 @@ class TestStreamIntegrateParity:
             np.testing.assert_allclose(g[:, m], w_[:, m], atol=1e-5)
 
 
+class TestIcpLevelPallas:
+    def test_matches_xla_level_loop(self):
+        """The whole-level fused ICP kernel must reproduce the XLA GN
+        loop's pose trajectory (same association, weighting, solve)."""
+        from housescan_tpu.kinfu.icp import (
+            _icp_level_iteration,
+            _model_gradients,
+        )
+        from housescan_tpu.kinfu.preprocess import depth_to_vertices, vertex_normals
+        from housescan_tpu.ops.icp_pallas import icp_level_pallas, pack_level_maps
+
+        frames, poses = _scene(n=2, yaw=0.1)
+        p0, p1 = jnp.asarray(poses[0]), jnp.asarray(poses[1])
+        v0 = depth_to_vertices(jnp.asarray(frames[0]), INTR)
+        n0 = vertex_normals(v0)
+        mv = v0 @ p0[:3, :3] + p0[3, :3]
+        mn = n0 @ p0[:3, :3]
+        mok = (v0[..., 2] > 0) & (jnp.linalg.norm(n0, axis=-1) > 0.5)
+        v1 = depth_to_vertices(jnp.asarray(frames[1]), INTR)
+        n1 = vertex_normals(v1)
+        grads = _model_gradients(mv, mok)
+
+        n_iters, window = 6, 4
+        ref_pose = p0
+        for _ in range(n_iters):
+            ref_pose, ref_rmse, ref_corr, norm = _icp_level_iteration(
+                ref_pose, v1, n1, mv, mn, mok, grads, p0, INTR,
+                0.10, 0.5236, window=window,
+            )
+
+        packed = pack_level_maps(v1, n1, mv, mn, mok, grads)
+        got_pose, got_rmse, got_corr = icp_level_pallas(
+            packed, p0, p0, INTR, n_iters=n_iters, window=window,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_pose), np.asarray(ref_pose), atol=5e-5
+        )
+        assert abs(float(got_rmse) - float(ref_rmse)) < 1e-4
+        # correspondence counts agree to a handful of gate-edge pixels
+        assert abs(int(got_corr) - int(ref_corr)) <= max(5, int(ref_corr) // 200)
+
+    def test_early_exit_stops_iterating(self):
+        """From the exact solution the step norm is ~0: the kernel must
+        converge in one or two iterations, not burn the whole budget."""
+        from housescan_tpu.kinfu.icp import _model_gradients
+        from housescan_tpu.kinfu.preprocess import depth_to_vertices, vertex_normals
+        from housescan_tpu.ops.icp_pallas import icp_level_pallas, pack_level_maps
+
+        frames, poses = _scene()
+        p0 = jnp.asarray(poses[0])
+        v0 = depth_to_vertices(jnp.asarray(frames[0]), INTR)
+        n0 = vertex_normals(v0)
+        mv = v0 @ p0[:3, :3] + p0[3, :3]
+        mn = n0 @ p0[:3, :3]
+        mok = (v0[..., 2] > 0) & (jnp.linalg.norm(n0, axis=-1) > 0.5)
+        packed = pack_level_maps(
+            v0, n0, mv, mn, mok, _model_gradients(mv, mok)
+        )
+        pose, rmse, corr = icp_level_pallas(
+            packed, p0, p0, INTR, n_iters=10, window=0, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(pose), np.asarray(p0), atol=1e-4)
+        assert int(corr) > 1000
+
+
 class TestSolveTwistPallas:
     def test_matches_xla_reference(self):
         """The fused solve+twist+compose kernel must match the jnp path
@@ -428,6 +494,42 @@ class TestFreeSaturation:
         t_min = t.min(axis=(1, 3, 6))
         assert (w_min[sat] >= sat_w).all()
         assert (t_min[sat] > 0.999).all()
+
+
+class TestPackedI16Volume:
+    def test_packed_parity_with_f32(self):
+        """int16-packed storage (tsdf<<16|weight in one int32): weights
+        must be BIT-EXACT (integers <= 128) and tsdf within two
+        quantization steps (2/32767) of the f32 path after two fused
+        frames; the persistent planes stay numerically equivalent."""
+        frames, poses = _scene()
+        vol32 = tsdf_new(128, 3.0, 0.06)
+        voli = tsdf_new(128, 3.0, 0.06, dtype=jnp.int32)
+        assert voli.packed_i32
+        p32 = jnp.zeros(planes_shape(128), jnp.float32)
+        pi = jnp.zeros(planes_shape(128), jnp.float32)
+        for i in range(2):
+            d, p = jnp.asarray(frames[i]), jnp.asarray(poses[i])
+            vol32, p32 = _integrate_stream(vol32, p32, d, p)
+            voli, pi = _integrate_stream(voli, pi, d, p)
+
+        np.testing.assert_array_equal(
+            np.asarray(vol32.weight), np.asarray(voli.weight)
+        )
+        m = np.asarray(vol32.weight) > 0
+        diff = np.abs(np.asarray(vol32.tsdf)[m] - np.asarray(voli.tsdf)[m])
+        assert diff.max() < 2.5 / 32767.0, diff.max()
+
+        # planes: same valid set, fields close (plane fit over quantized
+        # crossings moves by micrometers)
+        P32, Pi = np.asarray(p32), np.asarray(pi)
+        np.testing.assert_array_equal(P32[:, :, :, 4, :] > 0.5,
+                                      Pi[:, :, :, 4, :] > 0.5)
+        v = P32[:, :, :, 4, :] > 0.5
+        for f in (0, 1, 2, 3):
+            np.testing.assert_allclose(
+                P32[:, :, :, f, :][v], Pi[:, :, :, f, :][v], atol=2e-3
+            )
 
 
 class TestBf16Volume:
