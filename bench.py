@@ -92,6 +92,18 @@ def main() -> None:
     )
     print(f"# pose error vs ground truth after {n_frames} frames: "
           f"{pose_err_mm:.2f} mm", file=sys.stderr)
+    # Hard tracking-quality gate: regressions must fail LOUDLY, not ride
+    # along under a good fps number. Budget: 0.75 mm/frame worst case
+    # (recent builds run 0.45-0.50 mm/frame + a +-2 mm run-to-run noise
+    # floor between numerically-equivalent builds).
+    max_err_mm = 0.75 * n_frames
+    if pose_err_mm > max_err_mm:
+        print(
+            f"# FAIL: pose error {pose_err_mm:.2f} mm exceeds the "
+            f"{max_err_mm:.1f} mm budget ({n_frames} frames)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     print(
         f"# {n_frames} frames in {elapsed:.2f}s; icp rmse "
         f"{float(state.last_rmse)*1000:.3f}mm corr {int(state.last_corr)}",

@@ -271,6 +271,7 @@ def icp_track(
     windows: Sequence[int] = (0, 2, 4),
     dampings: Sequence[float] = (3e-4, 3e-3, 1e-2),
     use_pallas: bool = False,
+    interpret: bool = False,
 ) -> IcpResult:
     """Track the camera for one frame over the pyramid.
 
@@ -327,6 +328,7 @@ def icp_track(
                 dist_threshold=dist_threshold,
                 angle_threshold=angle_threshold,
                 damping=damp,
+                interpret=interpret,
             )
             use = lvl_corr > 0
             rmse = jnp.where(use, lvl_rmse, rmse)

@@ -95,7 +95,8 @@ def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def _integrate_dispatch(
-    volume, planes, raw_depth, new_pose, intr, max_weight, use_pallas
+    volume, planes, raw_depth, new_pose, intr, max_weight, use_pallas,
+    interpret=False,
 ):
     """Returns (volume, planes); the streaming Pallas kernel refreshes
     the persistent surface planes for exactly the chunks it updates."""
@@ -103,7 +104,8 @@ def _integrate_dispatch(
         from housescan_tpu.ops.tsdf_stream import tsdf_integrate_stream
 
         return tsdf_integrate_stream(
-            volume, planes, raw_depth, new_pose, intr, max_weight=max_weight
+            volume, planes, raw_depth, new_pose, intr,
+            max_weight=max_weight, interpret=interpret,
         )
     return (
         tsdf_integrate(volume, raw_depth, new_pose, intr, max_weight=max_weight),
@@ -125,7 +127,10 @@ def pallas_supported(volume_resolution: int) -> bool:
 
 @partial(
     jax.jit,
-    static_argnames=("intr", "levels", "iterations", "max_raycast_steps", "use_pallas"),
+    static_argnames=(
+        "intr", "levels", "iterations", "max_raycast_steps", "use_pallas",
+        "interpret",
+    ),
     donate_argnums=(0,),
 )
 def kinfu_step(
@@ -140,6 +145,7 @@ def kinfu_step(
     z_min: float = 0.3,
     max_raycast_steps: int = 256,
     use_pallas: bool = False,
+    interpret: bool = False,
 ) -> KinFuState:
     """Track and fuse one depth frame (the benchmark unit of BASELINE.json:
     'depth frames/sec TSDF integrate+ICP at 512^3')."""
@@ -177,12 +183,14 @@ def kinfu_step(
         angle_threshold=angle_threshold,
         init_pose=init_pose,
         use_pallas=use_pallas,
+        interpret=interpret,
     )
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
 
     volume, planes = _integrate_dispatch(
-        state.volume, state.planes, raw_depth, new_pose, intr, max_weight, use_pallas
+        state.volume, state.planes, raw_depth, new_pose, intr, max_weight,
+        use_pallas, interpret=interpret,
     )
 
     # Render the model at the ESTIMATED pose — the viewpoint whose depth
@@ -193,7 +201,9 @@ def kinfu_step(
     if use_pallas:
         from housescan_tpu.ops.raycast_pallas import raycast_planes
 
-        model = raycast_planes(planes, new_pose, intr, volume, z_min=z_min)
+        model = raycast_planes(
+            planes, new_pose, intr, volume, z_min=z_min, interpret=interpret
+        )
     else:
         model = raycast(
             volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps

@@ -68,7 +68,9 @@ L3_U = 256
 
 
 class WorkList(NamedTuple):
-    packed: jnp.ndarray  # (n_entries,) int32 half-descriptor pairs, padded
+    packed: jnp.ndarray  # (n_entries,) int32: half-descriptors 0-1, padded
+    packed_hi: jnp.ndarray  # (n_entries,) int32: half-descriptors 2-3 (NOOP
+    # pairs when super_z < 4)
     count: jnp.ndarray  # (1,) int32 number of real entries
     # Pre-decoded block coordinates (= packed's low bits): the Pallas
     # index_maps run per grid step on the scalar core, so handing them
@@ -76,7 +78,8 @@ class WorkList(NamedTuple):
     # per-step pipeline overhead at 16K steps.
     bi: jnp.ndarray  # (n_chunks,) int32
     bj: jnp.ndarray
-    bk: jnp.ndarray
+    bk: jnp.ndarray  # in super_z-chunk units
+    super_z: int = 2  # chunks per entry (static)
 
 
 def _coarsen_min(m):
@@ -156,13 +159,22 @@ def build_worklist(
     depth: jnp.ndarray,
     pose: jnp.ndarray,
     intr: Intrinsics,
-    resolution: int,
+    resolution,
     voxel_size: jnp.ndarray,
     origin: jnp.ndarray,
     trunc: jnp.ndarray,
     sat_quarters: jnp.ndarray = None,
+    block_x0=0,
 ) -> WorkList:
     """Classify all (8, 8, 128) chunks and compact the non-SKIP ones.
+
+    ``resolution`` is an int (cubic volume) or an (nx, ny, nz) dims
+    tuple — a mesh-sharded X-slab is non-cubic. ``origin`` is always
+    the GLOBAL volume origin and ``block_x0`` the slab's global X-block
+    offset: chunk geometry computes ``origin + (ci + block_x0)*8*vs``
+    so a sharded slab's f32 world coordinates are BIT-IDENTICAL to the
+    single-chip run's (a slab-local origin is mathematically equal but
+    rounds differently, which breaks sharded-vs-single parity).
 
     ``sat_quarters`` ((n, 4) bool, chunk raster order) marks chunk
     z-quarters whose free space is fully saturated (ops/tsdf_stream.py
@@ -172,17 +184,22 @@ def build_worklist(
     sees a surface in a quarter's footprint makes it non-free and the
     chunk is visited normally.
     """
-    nbx = resolution // 8
-    nzc = resolution // 128
-    n = nbx * nbx * nzc
+    if isinstance(resolution, int):
+        dims = (resolution, resolution, resolution)
+    else:
+        dims = tuple(int(d) for d in resolution)
+    nbx_x = dims[0] // 8
+    nbx_y = dims[1] // 8
+    nzc = dims[2] // 128
+    n = nbx_x * nbx_y * nzc
 
     ids = jnp.arange(n, dtype=jnp.int32)
-    ci = ids // (nbx * nzc)
-    cj = (ids // nzc) % nbx
+    ci = ids // (nbx_y * nzc)
+    cj = (ids // nzc) % nbx_y
     ck = ids % nzc
 
     vs = voxel_size
-    x0 = origin[0] + ci.astype(jnp.float32) * (8.0 * vs)
+    x0 = origin[0] + (ci + block_x0).astype(jnp.float32) * (8.0 * vs)
     y0 = origin[1] + cj.astype(jnp.float32) * (8.0 * vs)
     z0 = origin[2] + ck.astype(jnp.float32) * (128.0 * vs)
 
@@ -434,53 +451,65 @@ def build_worklist(
     noop_half = jnp.int32(CLS_NOOP)
     half = jnp.where(skip, noop_half, half)
 
-    if nzc % 2 == 0:
-        # ---- SUPERCHUNK pairing: two z-adjacent chunks per work-list
-        # entry / (2, 8, 8, 256) block. Per-buffer DMA bookkeeping costs
-        # ~0.36us per ACTIVE grid step on this backend, so halving the
-        # step count halves it; a listed superchunk with one SKIP half
-        # simply carries a NOOP half-descriptor. ----
-        n_super = n // 2
-        half2 = half.reshape(n_super, 2)
-        skip2 = skip.reshape(n_super, 2)
-        packed = (half2[:, 0] | (half2[:, 1] << 14)).astype(jnp.int32)
-        skip_s = skip2[:, 0] & skip2[:, 1]
-        sci = ci.reshape(n_super, 2)[:, 0]
-        scj = cj.reshape(n_super, 2)[:, 0]
-        sck = ck.reshape(n_super, 2)[:, 0] >> 1  # superchunk z index
+    # ---- SUPERCHUNK pairing: super_z z-adjacent chunks per work-list
+    # entry / one (8, 8, 128*super_z) block. The streaming integrate is
+    # bound by PER-STEP pipeline overhead (~1.35us per active entry,
+    # measured; neither FLOPs nor HBM bytes), so wider entries cut its
+    # floor directly; a listed superchunk's SKIP members simply carry
+    # NOOP half-descriptors. Two packed int32 words hold up to 4 14-bit
+    # halves (lo: chunks 0-1, hi: chunks 2-3). ----
+    super_z = 2 if nzc % 2 == 0 else 1  # see ops/tsdf_stream.py
+    n_super = n // super_z
+    halfs = half.reshape(n_super, super_z)
+    skips = skip.reshape(n_super, super_z)
+    noop_pair = (noop_half | (noop_half << 14)).astype(jnp.int32)
+    if super_z == 1:
+        packed = (halfs[:, 0] | (noop_half << 14)).astype(jnp.int32)
+        packed_hi = jnp.full((n_super,), noop_pair, jnp.int32)
+        skip_s = skips[:, 0]
+    elif super_z == 2:
+        packed = (halfs[:, 0] | (halfs[:, 1] << 14)).astype(jnp.int32)
+        packed_hi = jnp.full((n_super,), noop_pair, jnp.int32)
+        skip_s = skips[:, 0] & skips[:, 1]
     else:
-        # Odd chunk count in z (e.g. 128^3): single-chunk entries with a
-        # NOOP second half.
-        n_super = n
-        packed = (half | (noop_half << 14)).astype(jnp.int32)
-        skip_s = skip
-        sci, scj, sck = ci, cj, ck
+        packed = (halfs[:, 0] | (halfs[:, 1] << 14)).astype(jnp.int32)
+        packed_hi = (halfs[:, 2] | (halfs[:, 3] << 14)).astype(jnp.int32)
+        skip_s = skips[:, 0] & skips[:, 1] & skips[:, 2] & skips[:, 3]
+    sci = ci.reshape(n_super, super_z)[:, 0]
+    scj = cj.reshape(n_super, super_z)[:, 0]
+    sck = ck.reshape(n_super, super_z)[:, 0] // super_z  # superchunk z index
 
     # ---- compaction: non-skip first, raster order preserved ----
     coords = (sci | (scj << 7) | (sck << 14)).astype(jnp.int32)
     order = jnp.argsort(skip_s, stable=True)
     sorted_packed = packed[order]
+    sorted_hi = packed_hi[order]
     sorted_coords = coords[order]
     count = jnp.sum(~skip_s).astype(jnp.int32)
 
     # count == 0: one all-NOOP entry on chunk (0,0,0) keeps the
     # pipeline's revisit-elision invariant (padding repeats a real
     # entry).
-    noop = (noop_half | (noop_half << 14)).astype(jnp.int32)
+    noop = noop_pair
     last = jnp.where(count > 0, sorted_packed[jnp.maximum(count - 1, 0)], noop)
+    last_h = jnp.where(count > 0, sorted_hi[jnp.maximum(count - 1, 0)], noop)
     last_c = jnp.where(count > 0, sorted_coords[jnp.maximum(count - 1, 0)], 0)
     steps = jnp.arange(n_super, dtype=jnp.int32)
     wl = jnp.where(steps < count, sorted_packed, last)
     wl = jnp.where(count > 0, wl, jnp.full((n_super,), noop, jnp.int32))
+    wh = jnp.where(steps < count, sorted_hi, last_h)
+    wh = jnp.where(count > 0, wh, jnp.full((n_super,), noop, jnp.int32))
     wc = jnp.where(steps < count, sorted_coords, last_c)
     wc = jnp.where(count > 0, wc, jnp.zeros((n_super,), jnp.int32))
     count = jnp.maximum(count, 1)
     return WorkList(
         packed=wl,
+        packed_hi=wh,
         count=count.reshape(1),
         bi=wc & 127,
         bj=(wc >> 7) & 127,
         bk=(wc >> 14) & 15,
+        super_z=super_z,
     )
 
 
@@ -490,14 +519,16 @@ def decode_worklist(wl: WorkList):
     import numpy as np
 
     packed = np.asarray(wl.packed)
+    packed_hi = np.asarray(wl.packed_hi)
     bi = np.asarray(wl.bi)
     bj = np.asarray(wl.bj)
     bk = np.asarray(wl.bk)
     count = int(np.asarray(wl.count)[0])
     rows = []
     for s in range(count):
-        for h in range(2):
-            d = (packed[s] >> (14 * h)) & 0x3FFF
+        for h in range(wl.super_z):
+            word = packed[s] if h < 2 else packed_hi[s]
+            d = (word >> (14 * (h % 2))) & 0x3FFF
             cls = d & 3
             if cls == CLS_NOOP:
                 continue
@@ -505,7 +536,7 @@ def decode_worklist(wl: WorkList):
                 (
                     int(bi[s]),
                     int(bj[s]),
-                    int(bk[s]) * 2 + h,
+                    int(bk[s]) * wl.super_z + h,
                     cls,
                     (d >> 2) & 3,
                     ((d >> 4) & 63) * 8,

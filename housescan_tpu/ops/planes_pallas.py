@@ -302,6 +302,9 @@ def plane_fields_for_block(
 
     valid = (cnt >= min_count) & ok_plane & ok_spread
     vf = valid.astype(jnp.float32)
+    # ``i`` is the GLOBAL X block index (mesh-sharded callers pass
+    # local + slab offset) with the GLOBAL origin, so both the world
+    # geometry and this ID are identical across shard layouts.
     sub_id = (((i * nbx + j) * nzc + k) * nsub).astype(jnp.float32) + sub_iota
 
     # In-plane extent bound for the raycast: a hit counts only within

@@ -54,6 +54,19 @@ def raycast_planes(
     )
     vertices = jnp.stack([vx, vy, vz], axis=-1)
     normals = jnp.stack([nx, ny, nz], axis=-1)
+    return finalize_plane_maps(depth, vertices, normals, bid)
+
+
+def finalize_plane_maps(
+    depth: jnp.ndarray,
+    vertices: jnp.ndarray,
+    normals: jnp.ndarray,
+    bid: jnp.ndarray,
+) -> PlaneRaycastResult:
+    """Seam masking over raw plane-hit maps. Split out so the mesh-
+    sharded raycast can pmin-combine per-slab raw maps FIRST and mask
+    once on the combined result (sub-block ids are globally unique
+    across shards)."""
     valid = depth > 0
 
     # Exact block-plane normals + DISAGREEING-SEAM MASKING. Each pixel's

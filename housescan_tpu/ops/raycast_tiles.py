@@ -42,7 +42,9 @@ from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.tsdf import TsdfVolume
 from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z
 
-MAX_CT = 96  # candidates per (band, u-tile); overflow drops farthest
+MAX_CT = 96  # candidates per (band, u-tile) at production image sizes;
+# small test images have few tiles and would overflow constantly, so
+# _max_ct() widens the per-tile budget as the tile count shrinks.
 N_PREP = 16  # prepared fields (10 used, padded to a sublane tile)
 BIG = 1.0e9
 MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
@@ -53,14 +55,26 @@ MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
 MAX_VISIBLE = 4096
 
 
+def _max_ct(n_tiles: int) -> int:
+    """Per-tile candidate budget: 96 at production sizes (>=128 tiles),
+    widened for small test images so the visible set still fits."""
+    return 96 if n_tiles >= 128 else 384
+
+
 def build_tile_candidates(
     planes: jnp.ndarray,  # (nbx, nbx, nzc, N_FIELDS, NSUB_C)
     pose: jnp.ndarray,
     intr: Intrinsics,
     vol: TsdfVolume,
     z_min: float = 0.3,
+    block_x0=0,
 ):
     """Phase 1: (n_tiles, MAX_CT, N_PREP) prepared-candidate tensor.
+
+    ``block_x0``: the slab's global X-block offset for mesh-sharded
+    planes; sub-block centers use ``global_origin + (bi+block_x0)*8*vs``
+    so the visibility culling is bit-identical to the single-chip run
+    (``vol.origin`` is always the GLOBAL origin).
 
     Gather-lean redesign (the first version spent ~2 ms on an inner-dim
     planes transpose and ~1.8 ms on 3x65536-element compaction gathers;
@@ -77,12 +91,13 @@ def build_tile_candidates(
         no gather. Per-tile MAX_CT truncation therefore drops
         farthest-first.
     """
-    nbx = planes.shape[0]
+    nbx_x, nbx_y = planes.shape[0], planes.shape[1]
     nsub = vol.dims[2] // SUB_Z
-    nb = nbx * nbx * nsub
+    nb = nbx_x * nbx_y * nsub
     n_bands = intr.height // 8
     n_ut = -(-intr.width // 128)
     n_tiles = n_bands * n_ut
+    max_ct = _max_ct(n_tiles)
 
     def field(k):
         return planes[:, :, :, k, :].reshape(nb)
@@ -91,11 +106,11 @@ def build_tile_candidates(
     nx_f, ny_f, nz_f = field(0), field(1), field(2)
 
     ids = jnp.arange(nb)
-    bi = ids // (nbx * nsub)
-    bj = (ids // nsub) % nbx
+    bi = ids // (nbx_y * nsub)
+    bj = (ids // nsub) % nbx_y
     bs = ids % nsub
     vs = vol.voxel_size
-    cx_w = vol.origin[0] + (bi * 8 + 4) * vs
+    cx_w = vol.origin[0] + ((bi + block_x0) * 8 + 4) * vs
     cy_w = vol.origin[1] + (bj * 8 + 4) * vs
     cz_w = vol.origin[2] + (bs * SUB_Z + SUB_Z // 2) * vs
     radius = vs * (float(32 + SUB_Z * SUB_Z // 4) ** 0.5 + 1.0)
@@ -176,9 +191,9 @@ def build_tile_candidates(
     start = jnp.concatenate(
         [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
-    slot = start[:, None] + jnp.arange(MAX_CT)[None, :]
+    slot = start[:, None] + jnp.arange(max_ct)[None, :]
     slot_c = jnp.clip(slot, 0, sorted_keys.shape[0] - 1)
-    slot_ok = jnp.arange(MAX_CT)[None, :] < counts[:, None]
+    slot_ok = jnp.arange(max_ct)[None, :] < counts[:, None]
     slot_idx = sorted_idx[slot_c]  # compact (0..nv) candidate indices
 
     # Prepared per-candidate constants for the SELECTED rows only,
@@ -209,9 +224,9 @@ def build_tile_candidates(
         axis=0,
     )  # (10, nv)
 
-    cand_t = jnp.take(prep_t, slot_idx.reshape(-1), axis=1)  # (10, n_tiles*MAX_CT)
+    cand_t = jnp.take(prep_t, slot_idx.reshape(-1), axis=1)  # (10, n_tiles*max_ct)
     cand = jnp.transpose(
-        cand_t.reshape(prep_t.shape[0], n_tiles, MAX_CT), (1, 2, 0)
+        cand_t.reshape(prep_t.shape[0], n_tiles, max_ct), (1, 2, 0)
     )
     cand = jnp.pad(cand, ((0, 0), (0, 0), (0, N_PREP - prep_t.shape[0])))
     cand = jnp.where(slot_ok[..., None], cand, 0.0)
@@ -242,10 +257,11 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
     dwy = dcx * r01 + dcy * r11 + r21
     dwz = dcx * r02 + dcy * r12 + r22
 
-    c = cand[0]  # (MAX_CT, N_PREP)
+    c = cand[0]  # (max_ct, N_PREP)
+    mct = c.shape[0]
 
     def col(f):
-        return c[:, f : f + 1].reshape(MAX_CT, 1, 1)
+        return c[:, f : f + 1].reshape(mct, 1, 1)
 
     nx = col(0)
     ny = col(1)
@@ -258,7 +274,7 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
     bid = col(8)
     ok = col(9)
 
-    den = nx * dwx + ny * dwy + nz * dwz  # (MAX_CT, 8, 128)
+    den = nx * dwx + ny * dwy + nz * dwz  # (max_ct, 8, 128)
     safe = jnp.where(jnp.abs(den) > 1e-9, den, -1e-9)
     tq = fnum / safe
     qx = tq * dwx - rx
@@ -301,6 +317,7 @@ def raycast_tiles_maps(
     vol: TsdfVolume,
     z_min: float = 0.3,
     interpret: bool = False,
+    block_x0=0,
 ):
     """Raw model maps (depth, vertices, normals, block ids) before seam
     masking. Width is processed in 128-pixel tiles (padded, cropped)."""
@@ -308,7 +325,9 @@ def raycast_tiles_maps(
     n_ut = -(-intr.width // 128)
     w_pad = n_ut * 128
 
-    cand = build_tile_candidates(planes, pose, intr, vol, z_min=z_min)
+    cand = build_tile_candidates(
+        planes, pose, intr, vol, z_min=z_min, block_x0=block_x0
+    )
 
     rot = pose[:3, :3]
     t = pose[3, :3]
@@ -329,7 +348,7 @@ def raycast_tiles_maps(
         grid=(n_bands * n_ut,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAX_CT, N_PREP), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, cand.shape[1], N_PREP), lambda g: (g, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(

@@ -89,14 +89,19 @@ N_QUARTERS = 4
 FIELD_SAT = 11  # planes row carrying the flags (rows 11-15 are spare)
 
 
-def planes_shape(resolution: int):
-    nbx = resolution // 8
-    nzc = resolution // CHUNK_Z
-    return (nbx, nbx, nzc, N_FIELDS, NSUB_C)
+def planes_shape(resolution):
+    """Persistent planes array shape for a cubic resolution or an
+    (nx, ny, nz) dims tuple (mesh-sharded slabs are non-cubic)."""
+    if isinstance(resolution, int):
+        dims = (resolution,) * 3
+    else:
+        dims = tuple(int(d) for d in resolution)
+    return (dims[0] // 8, dims[1] // 8, dims[2] // CHUNK_Z, N_FIELDS, NSUB_C)
 
 
 def _kernel(
-    wl,  # scalar prefetch: (n,) packed half-descriptor pairs
+    wl,  # scalar prefetch: (n,) packed half-descriptors 0-1
+    wl_hi,  # scalar prefetch: (n,) packed half-descriptors 2-3
     bi_a,  # scalar prefetch: pre-decoded block coords
     bj_a,
     bk_a,
@@ -120,6 +125,7 @@ def _kernel(
 ):
     step = pl.program_id(0)
     p = wl[step]
+    p_hi = wl_hi[step]
     ci = bi_a[step]
     cj = bj_a[step]
     bk = bk_a[step]  # block z index in super_z-chunk units
@@ -135,8 +141,9 @@ def _kernel(
     max_weight = params[21]
     img_w = params[22]
     img_h = params[23]
-    nbx = params[24].astype(jnp.int32)
+    nbx = params[24].astype(jnp.int32)  # GLOBAL X block count (for ids)
     nzc = params[25].astype(jnp.int32)
+    bx0 = params[26].astype(jnp.int32)  # slab's global X block offset
 
     active = step < cnt[0]
 
@@ -148,9 +155,10 @@ def _kernel(
         vol_out[...] = vol_in[...]
 
         for h in range(super_z):
+            word = p if h < 2 else p_hi
             _process_half(
                 h,
-                (p >> (14 * h)) & 0x3FFF,
+                (word >> (14 * (h % 2))) & 0x3FFF,
                 ci,
                 cj,
                 bk * super_z + h,
@@ -163,6 +171,7 @@ def _kernel(
                 sign_scratch,
                 nbx,
                 nzc,
+                bx0,
                 ablate,
                 sat_w,
             )
@@ -183,6 +192,7 @@ def _process_half(
     sign_scratch,
     nbx,
     nzc,
+    bx0,
     ablate,
     sat_w,
 ):
@@ -204,6 +214,12 @@ def _process_half(
     img_h = params[23]
 
     zlo = h * CHUNK_Z  # static lane offset of this half in the block
+    # Global X block index: geometry MUST use (ci + bx0) with the GLOBAL
+    # origin so a mesh-sharded slab's f32 world coordinates are
+    # bit-identical to the single-chip run's (slab-local origins round
+    # differently and break sharded-vs-single parity). bx0 = 0 single
+    # chip.
+    ci_g = ci + bx0
 
     if len(vol_out.shape) == 3:
         # int16-packed int32 layout: tsdf<<16 | weight (kinfu/tsdf.py
@@ -247,7 +263,7 @@ def _process_half(
 
     def tile_coords(ix_f):
         """Camera and pixel coords for the (8 iy, 128 z) slab tile."""
-        xw = ox + (ci * 8 + ix_f + 0.5) * vs
+        xw = ox + (ci_g * 8 + ix_f + 0.5) * vs
         yw = oy + (cj * 8 + iy_sub + 0.5) * vs
         zw = oz + (zlane + 0.5) * vs
         dx = xw - tx
@@ -271,38 +287,40 @@ def _process_half(
     ones_t = jnp.ones((8, CHUNK_Z), jnp.float32)
     big_t = jnp.full((8, CHUNK_Z), BIG, jnp.float32)
 
-    def _store_sign(mn_t, mx_t, mn_w):
-        # Post-update observed-tsdf min/max (crossing early-out) and the
-        # chunk-min weight (free-space saturation flag) — folded into
-        # the RMW loops (which read every voxel anyway), so the planes
-        # stage needs no second pass over the chunk.
+    def _store_sign(mn_t, mx_t, mn_w, mx_w):
+        # Post-update observed-tsdf min/max (crossing early-out), the
+        # min OBSERVED weight and max weight (free-space saturation
+        # flags) — folded into the RMW loops (which read every voxel
+        # anyway), so the planes stage needs no second pass.
         sign_scratch[0, :, :] = mn_t
         sign_scratch[1, :, :] = mx_t
         sign_scratch[2, :, :] = mn_w
+        sign_scratch[3, :, :] = mx_w
 
     def _scan_sign():
         # Read-only sign scan for halves whose TSDF was not updated this
         # step (NOOP, or REFINE with nothing in view).
         def sbody(ix, carry):
-            mn_t, mx_t, mn_w = carry
+            mn_t, mx_t, mn_w, mx_w = carry
             t = t_ref(ix)
             w = w_ref(ix)
             obs = w > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, t, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, t, -1.0))
-            mn_w = jnp.minimum(mn_w, w)
-            return mn_t, mx_t, mn_w
+            mn_w = jnp.minimum(mn_w, jnp.where(obs, w, BIG))
+            mx_w = jnp.maximum(mx_w, w)
+            return mn_t, mx_t, mn_w, mx_w
 
-        mn_t, mx_t, mn_w = jax.lax.fori_loop(
-            0, 8, sbody, (ones_t, -ones_t, big_t)
+        mn_t, mx_t, mn_w, mx_w = jax.lax.fori_loop(
+            0, 8, sbody, (ones_t, -ones_t, big_t, -ones_t)
         )
-        _store_sign(mn_t, mx_t, mn_w)
+        _store_sign(mn_t, mx_t, mn_w, mx_w)
 
     def update_tiles(get_depth_tile):
         """RMW over the half-chunk's 8 x-slabs."""
 
         def body(ix, carry):
-            mn_t, mx_t, mn_w = carry
+            mn_t, mx_t, mn_w, mx_w = carry
             uf, vf, zc, iv = tile_coords(ix.astype(jnp.float32))
             d, has_depth = get_depth_tile(uf, vf)
             sdf = d - zc
@@ -320,13 +338,14 @@ def _process_half(
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
-            mn_w = jnp.minimum(mn_w, wnew)
-            return mn_t, mx_t, mn_w
+            mn_w = jnp.minimum(mn_w, jnp.where(obs, wnew, BIG))
+            mx_w = jnp.maximum(mx_w, wnew)
+            return mn_t, mx_t, mn_w, mx_w
 
-        mn_t, mx_t, mn_w = jax.lax.fori_loop(
-            0, 8, body, (ones_t, -ones_t, big_t)
+        mn_t, mx_t, mn_w, mx_w = jax.lax.fori_loop(
+            0, 8, body, (ones_t, -ones_t, big_t, -ones_t)
         )
-        _store_sign(mn_t, mx_t, mn_w)
+        _store_sign(mn_t, mx_t, mn_w, mx_w)
 
     if ablate == "copy":
         return
@@ -339,9 +358,9 @@ def _process_half(
         # divides are multi-pass); only the weight blend keeps one
         # divide.
         def body(ix, carry):
-            mn_t, mx_t, mn_w = carry
+            mn_t, mx_t, mn_w, mx_w = carry
             ix_f = ix.astype(jnp.float32)
-            xw = ox + (ci * 8 + ix_f + 0.5) * vs
+            xw = ox + (ci_g * 8 + ix_f + 0.5) * vs
             yw = oy + (cj * 8 + iy_sub + 0.5) * vs
             zw = oz + (zlane + 0.5) * vs
             dx = xw - tx
@@ -370,13 +389,14 @@ def _process_half(
             obs = wnew > 0.0
             mn_t = jnp.minimum(mn_t, jnp.where(obs, tcur, 1.0))
             mx_t = jnp.maximum(mx_t, jnp.where(obs, tcur, -1.0))
-            mn_w = jnp.minimum(mn_w, wnew)
-            return mn_t, mx_t, mn_w
+            mn_w = jnp.minimum(mn_w, jnp.where(obs, wnew, BIG))
+            mx_w = jnp.maximum(mx_w, wnew)
+            return mn_t, mx_t, mn_w, mx_w
 
-        mn_t, mx_t, mn_w = jax.lax.fori_loop(
-            0, 8, body, (ones_t, -ones_t, big_t)
+        mn_t, mx_t, mn_w, mx_w = jax.lax.fori_loop(
+            0, 8, body, (ones_t, -ones_t, big_t, -ones_t)
         )
-        _store_sign(mn_t, mx_t, mn_w)
+        _store_sign(mn_t, mx_t, mn_w, mx_w)
 
     def band_update(window, nrows, scale, v0f, u0f):
         """Exact bilinear depth from a (nrows, win_u) window.
@@ -617,8 +637,17 @@ def _process_half(
         in_q = lane_q == q
         q_minw = jnp.min(jnp.where(in_q, sign_scratch[2, :, :], BIG))
         q_mint = jnp.min(jnp.where(in_q, sign_scratch[0, :, :], BIG))
+        q_maxw = jnp.max(jnp.where(in_q, sign_scratch[3, :, :], -1.0))
+        # RELAXED criterion over OBSERVED voxels only: no voxel is
+        # still actively learning (0 < w < sat_w or an observed
+        # t <= 0.999), and something was observed. Unobserved voxels
+        # already hold the initial t=+1 free-space value at w=0; the
+        # only loss from skipping them is free-space confidence
+        # counting, which nothing downstream reads.
         sat_q.append(
-            ((q_minw >= sat_w) & (q_mint > 0.999)).astype(jnp.float32)
+            (
+                (q_minw >= sat_w) & (q_mint > 0.999) & (q_maxw > 0.0)
+            ).astype(jnp.float32)
         )
 
     class _Chan:
@@ -647,7 +676,7 @@ def _process_half(
         fields = plane_fields_for_block(
             _Chan(t_ref),
             _Chan(w_ref),
-            ci,
+            ci_g,
             cj,
             vs=vs,
             ox=ox,
@@ -720,22 +749,38 @@ def tsdf_integrate_stream(
     interpret: bool = False,
     ablate: str = "none",
     sat_w: float = SAT_W,
+    global_blocks=None,
 ):
     """Work-list TSDF integrate + persistent plane refresh.
 
-    ``planes`` is the persistent (nbx, nbx, nzc, N_FIELDS, NSUB_C) array
-    from the previous step (zeros initially). Returns (vol, planes).
+    ``planes`` is the persistent (nbx_x, nbx_y, nzc, N_FIELDS, NSUB_C)
+    array from the previous step (zeros initially). Returns
+    (vol, planes). ``global_blocks`` = (global_nbx, block_x0) for a
+    mesh-sharded X-slab: block_x0 (traced, e.g. from axis_index) offsets
+    the X block index in ALL world-coordinate arithmetic and in the
+    plane sub-block IDs, and ``vol.origin`` must then be the GLOBAL
+    volume origin — the slab's f32 geometry is bit-identical to the
+    single-chip run's, which is what makes sharded-vs-single trajectory
+    parity exact rather than merely close.
     """
-    r = vol.resolution
-    assert r % 8 == 0 and r % CHUNK_Z == 0, "volume must tile (8,8,128)"
+    dims = vol.dims
+    assert all(d % 8 == 0 for d in dims) and dims[2] % CHUNK_Z == 0, dims
     packed = vol.data.ndim == 3
     if packed:
         assert vol.data.dtype == jnp.int32, vol.data.dtype
     else:
         assert vol.data.dtype in (jnp.float32, jnp.bfloat16)
-    nbx = r // 8
-    nzc = r // CHUNK_Z
-    assert planes.shape == planes_shape(r), planes.shape
+    nbx_x = dims[0] // 8
+    nbx_y = dims[1] // 8
+    nzc = dims[2] // CHUNK_Z
+    assert planes.shape == planes_shape(dims), planes.shape
+    if global_blocks is None:
+        id_nbx, block_x0 = nbx_x, jnp.int32(0)
+    else:
+        id_nbx, block_x0 = global_blocks[0], global_blocks[1]
+    # super_z=2 measured best: 4-wide entries merge mostly-(listed,skip)
+    # sibling pairs, going from 4160 active entries of 8192 to ~4096 of
+    # 4096 — no step savings, double the streamed bytes.
     super_z = 2 if nzc % 2 == 0 else 1
 
     depth = depth.astype(jnp.float32)
@@ -747,8 +792,8 @@ def tsdf_integrate_stream(
         > 0.5
     )
     wl = build_worklist(
-        depth, pose, intr, r, vol.voxel_size, vol.origin, vol.trunc,
-        sat_quarters=sat_q,
+        depth, pose, intr, dims, vol.voxel_size, vol.origin, vol.trunc,
+        sat_quarters=sat_q, block_x0=block_x0,
     )
     m0, m1, m2, m0s, m1s, m2s, l3 = build_depth_mips(depth)
 
@@ -763,30 +808,33 @@ def tsdf_integrate_stream(
             vol.voxel_size.reshape(1),
             vol.origin.reshape(-1),
             jnp.array(
-                [max_weight, intr.width, intr.height, nbx, nzc], jnp.float32
+                [max_weight, intr.width, intr.height], jnp.float32
             ),
-            jnp.zeros((6,), jnp.float32),
+            jnp.asarray(id_nbx, jnp.float32).reshape(1),
+            jnp.asarray(nzc, jnp.float32).reshape(1),
+            jnp.asarray(block_x0, jnp.float32).reshape(1),
+            jnp.zeros((5,), jnp.float32),
         ]
     ).astype(jnp.float32)
 
-    n_entries = nbx * nbx * (nzc // super_z)
+    n_entries = nbx_x * nbx_y * (nzc // super_z)
 
     if packed:
-        def im_vol(s, wl, bi, bj, bk, cnt):
+        def im_vol(s, wl, wh, bi, bj, bk, cnt):
             return (bi[s], bj[s], bk[s])
 
         vol_block = (8, 8, CHUNK_Z * super_z)
     else:
-        def im_vol(s, wl, bi, bj, bk, cnt):
+        def im_vol(s, wl, wh, bi, bj, bk, cnt):
             return (0, bi[s], bj[s], bk[s])
 
         vol_block = (2, 8, 8, CHUNK_Z * super_z)
 
-    def im_planes(s, wl, bi, bj, bk, cnt):
+    def im_planes(s, wl, wh, bi, bj, bk, cnt):
         return (bi[s], bj[s], bk[s], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n_entries,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -803,14 +851,14 @@ def tsdf_integrate_stream(
             # instead of per step.
             pl.BlockSpec(
                 (1, 1, super_z, N_FIELDS, NSUB_C),
-                lambda s, wl, bi, bj, bk, cnt: (0, 0, 0, 0, 0),
+                lambda s, wl, wh, bi, bj, bk, cnt: (0, 0, 0, 0, 0),
             ),
         ],
         out_specs=[
             pl.BlockSpec(vol_block, im_vol),
             pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
         ],
-        scratch_shapes=[pltpu.VMEM((3, 8, CHUNK_Z), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4, 8, CHUNK_Z), jnp.float32)],
     )
 
     out_data, out_planes = pl.pallas_call(
@@ -820,10 +868,10 @@ def tsdf_integrate_stream(
             jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
         ],
-        input_output_aliases={13: 0, 14: 1},
+        input_output_aliases={14: 0, 15: 1},
         interpret=interpret,
     )(
-        wl.packed, wl.bi, wl.bj, wl.bk, wl.count,
+        wl.packed, wl.packed_hi, wl.bi, wl.bj, wl.bk, wl.count,
         params, m0, m1, m2, m0s, m1s, m2s, l3, vol.data, planes,
     )
 

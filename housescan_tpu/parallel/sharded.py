@@ -44,6 +44,11 @@ from housescan_tpu.parallel.mesh import VOLUME_AXIS
 
 class ShardedKinFuState(NamedTuple):
     volume: TsdfVolume  # tsdf/weight sharded on axis 0 (X-slabs)
+    # Persistent per-sub-block surface planes, X-block-sharded like the
+    # volume (the Pallas path's raycast acceleration structure +
+    # free-space saturation flags); dummy (1,1,1,16,16) zeros for the
+    # XLA path.
+    planes: jnp.ndarray
     pose: jnp.ndarray
     model_vertices: jnp.ndarray
     model_normals: jnp.ndarray
@@ -58,21 +63,48 @@ def sharded_kinfu_init(
     size_m: float = 3.0,
     trunc: float = 0.06,
     init_pose=None,
+    use_pallas: bool = False,
 ) -> ShardedKinFuState:
-    """Allocate the volume already laid out in X-slabs across the mesh."""
-    vol = tsdf_new(resolution, size_m, trunc)
-    sharding = NamedSharding(mesh, P(None, VOLUME_AXIS, None, None))
+    """Allocate the volume already laid out in X-slabs across the mesh.
+
+    ``use_pallas=True`` allocates the production int16-packed (X, Y, Z)
+    volume layout plus the X-block-sharded persistent planes array the
+    streaming-kernel path needs (resolution must tile (8, 8, 128) and
+    split across the mesh)."""
     rep = NamedSharding(mesh, P())
+    if use_pallas:
+        vol = tsdf_new(resolution, size_m, trunc, dtype=jnp.int32)
+        sharding = NamedSharding(mesh, P(VOLUME_AXIS, None, None))
+    else:
+        vol = tsdf_new(resolution, size_m, trunc)
+        sharding = NamedSharding(mesh, P(None, VOLUME_AXIS, None, None))
     vol = TsdfVolume(
         data=jax.device_put(vol.data, sharding),
         origin=jax.device_put(vol.origin, rep),
         voxel_size=jax.device_put(vol.voxel_size, rep),
         trunc=jax.device_put(vol.trunc, rep),
     )
+    if use_pallas:
+        from housescan_tpu.ops.tsdf_stream import planes_shape
+
+        n_dev = mesh.devices.size
+        assert resolution % 128 == 0 and (resolution // 8) % n_dev == 0, (
+            "pallas sharded path needs a (8,8,128)-tileable volume whose "
+            f"X blocks split over {n_dev} devices"
+        )
+        planes = jax.device_put(
+            jnp.zeros(planes_shape(resolution), jnp.float32),
+            NamedSharding(mesh, P(VOLUME_AXIS)),
+        )
+    else:
+        planes = jax.device_put(
+            jnp.zeros((1, 1, 1, 16, 16), jnp.float32), rep
+        )
     pose = jnp.eye(4, dtype=jnp.float32) if init_pose is None else jnp.array(init_pose, jnp.float32, copy=True)
     h, w = intr.height, intr.width
     return ShardedKinFuState(
         volume=vol,
+        planes=planes,
         pose=jax.device_put(pose, rep),
         model_vertices=jnp.zeros((h, w, 3), jnp.float32),
         model_normals=jnp.zeros((h, w, 3), jnp.float32),
@@ -126,14 +158,103 @@ def make_sharded_step(
     iterations: Tuple[int, ...] = (4, 3, 3),
     max_raycast_steps: int = 96,
     halo: int = 2,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Build the jitted SPMD fusion step for ``mesh``.
 
     Returns step(state, raw_depth) -> state. One call tracks (coarse
     replicated + fine psum-sharded ICP), integrates the slab-sharded
-    volume, and re-renders the model with halo-exchanged slab raycasts.
+    volume, and re-renders the model.
+
+    ``use_pallas=True`` runs the PRODUCTION kernels inside shard_map —
+    the streaming work-list integrate (with persistent per-slab planes
+    and saturation gating) and the plane-candidate raycast with a pmin
+    combine across slabs — so the multi-chip path has the single-chip
+    path's speed characteristics (SURVEY.md section 7 step 6).
+    ``interpret=True`` runs those kernels in interpret mode (the CPU
+    test mesh). The default XLA kernels remain for volumes that don't
+    tile (8, 8, 128).
     """
     axis = VOLUME_AXIS
+    n_dev = mesh.devices.size
+
+    # --- pallas path: streaming integrate + plane raycast per slab ----
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis),  # volume data slab: X is dim 0 packed, dim 1 float
+            P(axis),  # planes slab (X-block dim 0)
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )
+    def integrate_shards_pallas(data, planes, origin, voxel_size, trunc, depth, pose):
+        from housescan_tpu.kinfu.tsdf import TsdfVolume as TV
+        from housescan_tpu.ops.tsdf_stream import tsdf_integrate_stream
+
+        idx = jax.lax.axis_index(axis)
+        nx_local = data.shape[0] if data.ndim == 3 else data.shape[1]
+        # GLOBAL origin + global X-block offset: the kernels compute
+        # world coordinates as origin + (local + bx0)*8*vs, which is
+        # bit-identical to the single-chip arithmetic (a slab-local
+        # origin rounds differently in f32 and breaks exact parity).
+        vol = TV(data=data, origin=origin, voxel_size=voxel_size, trunc=trunc)
+        gnbx = (nx_local // 8) * n_dev
+        bx0 = idx * (nx_local // 8)
+        nv, npl = tsdf_integrate_stream(
+            vol, planes, depth, pose, intr,
+            interpret=interpret,
+            global_blocks=(gnbx, bx0),
+        )
+        return nv.data, npl
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def raycast_shards_pallas(data, planes, origin, voxel_size, trunc, pose):
+        from housescan_tpu.kinfu.tsdf import TsdfVolume as TV
+        from housescan_tpu.ops.raycast_tiles import raycast_tiles_maps
+
+        idx = jax.lax.axis_index(axis)
+        nx_local = data.shape[0] if data.ndim == 3 else data.shape[1]
+        # Global origin + block offset: bit-identical geometry (see
+        # integrate_shards_pallas).
+        vol = TV(data=data, origin=origin, voxel_size=voxel_size, trunc=trunc)
+        bx0 = idx * (nx_local // 8)
+        depth_m, vx, vy, vz, nx_, ny_, nz_, bid = raycast_tiles_maps(
+            planes, pose, intr, vol, z_min=0.3, interpret=interpret,
+            block_x0=bx0,
+        )
+        # Nearest slab hit wins; sub-block ids are globally unique.
+        # Combine with component-wise pmax over -BIG-masked losers: the
+        # tile kernel itself resolves equal-depth ties by a per-
+        # component max over the tied candidates, so this reproduces
+        # the single-chip maps BIT-EXACTLY even when the tied planes
+        # live in different slabs (vertices derive from the shared
+        # best_t, so they are identical across tied slabs anyway).
+        big = jnp.float32(1.0e9)
+        my = jnp.where(depth_m > 0, depth_m, jnp.inf)
+        best = jax.lax.pmin(my, axis)
+        win = (depth_m > 0) & (my <= best)
+        any_win = jax.lax.pmax(win.astype(jnp.float32), axis) > 0
+
+        def comb(m):
+            return jax.lax.pmax(jnp.where(win, m, -big), axis)
+
+        verts = jnp.stack([comb(vx), comb(vy), comb(vz)], axis=-1)
+        normals = jnp.stack([comb(nx_), comb(ny_), comb(nz_)], axis=-1)
+        verts = jnp.where(any_win[..., None], verts, 0.0)
+        normals = jnp.where(any_win[..., None], normals, 0.0)
+        bid_out = jax.lax.pmax(jnp.where(win, bid, -1.0), axis)
+        depth_out = jnp.where(any_win, jnp.where(jnp.isinf(best), 0.0, best), 0.0)
+        return depth_out, verts, normals, bid_out
 
     # --- integrate: shard-local ---------------------------------------
     @partial(
@@ -227,55 +348,94 @@ def make_sharded_step(
 
         is_first = state.frame_index == 0
 
-        # Coarse levels replicated (small images).
-        coarse = icp_track(
-            pyr.vertices,
-            pyr.normals,
-            m_v,
-            m_n,
-            m_ok,
-            state.pose,
-            intr,
-            iterations=(0,) + tuple(iterations[1:]),
-        )
-        pose = coarse.pose
-
-        # Fine level: sharded psum'd Gauss-Newton iterations.
-        for _ in range(iterations[0]):
-            a, b = fine_normal_equations(
-                pyr.vertices[0],
-                pyr.normals[0],
-                m_v[0],
-                m_n[0],
-                m_ok[0],
-                pose,
+        if use_pallas:
+            # The production tracker, replicated: the model maps are
+            # KB-scale, so running icp_track identically on every device
+            # costs less than any collective and keeps the multi-chip
+            # pose trajectory NUMERICALLY IDENTICAL to the single-chip
+            # pipeline's. (The row-sharded psum'd GN variant below
+            # remains the XLA path's demonstrator for scale-out of the
+            # 6x6 reduction.)
+            pose = icp_track(
+                pyr.vertices,
+                pyr.normals,
+                m_v,
+                m_n,
+                m_ok,
                 state.pose,
+                intr,
+                iterations=iterations,
+                init_pose=state.pose,
+                use_pallas=True,
+                interpret=interpret,
+            ).pose
+        else:
+            # Coarse levels replicated (small images).
+            coarse = icp_track(
+                pyr.vertices,
+                pyr.normals,
+                m_v,
+                m_n,
+                m_ok,
+                state.pose,
+                intr,
+                iterations=(0,) + tuple(iterations[1:]),
             )
-            x, ok = _solve_increment(a, b)
-            pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
+            pose = coarse.pose
+
+            # Fine level: sharded psum'd Gauss-Newton iterations.
+            for _ in range(iterations[0]):
+                a, b = fine_normal_equations(
+                    pyr.vertices[0],
+                    pyr.normals[0],
+                    m_v[0],
+                    m_n[0],
+                    m_ok[0],
+                    pose,
+                    state.pose,
+                )
+                x, ok = _solve_increment(a, b)
+                pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
 
         new_pose = jnp.where(is_first, state.pose, pose)
 
         vol = state.volume
-        tsdf, weight = integrate_shards(
-            vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc, raw_depth, new_pose
-        )
-        volume = vol.replace_grids(tsdf=tsdf, weight=weight)
+        if use_pallas:
+            data, planes = integrate_shards_pallas(
+                vol.data, state.planes, vol.origin, vol.voxel_size,
+                vol.trunc, raw_depth, new_pose,
+            )
+            volume = vol._replace(data=data)
+            _depth, verts, normals, _bid = raycast_shards_pallas(
+                volume.data, planes, volume.origin, volume.voxel_size,
+                volume.trunc, new_pose,
+            )
+            from housescan_tpu.ops.raycast_pallas import finalize_plane_maps
 
-        verts, valid, _depth = raycast_shards(
-            volume.tsdf, volume.weight, volume.origin, volume.voxel_size, volume.trunc, new_pose
-        )
-        # Normals from the combined vertex map (replicated, small).
-        rot = new_pose[:3, :3]
-        v_cam = jnp.where(
-            valid[..., None], (verts - new_pose[3, :3]) @ rot.T, 0.0
-        )
-        n_cam = vertex_normals(v_cam)
-        normals = n_cam @ rot
-        valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
+            model = finalize_plane_maps(_depth, verts, normals, _bid)
+            verts, normals, valid = model.vertices, model.normals, model.valid
+        else:
+            planes = state.planes
+            tsdf, weight = integrate_shards(
+                vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc, raw_depth, new_pose
+            )
+            volume = vol.replace_grids(tsdf=tsdf, weight=weight)
+
+            verts, valid, _depth = raycast_shards(
+                volume.tsdf, volume.weight, volume.origin, volume.voxel_size, volume.trunc, new_pose
+            )
+            # Normals from the combined vertex map (replicated, small).
+            rot = new_pose[:3, :3]
+            v_cam = jnp.where(
+                valid[..., None], (verts - new_pose[3, :3]) @ rot.T, 0.0
+            )
+            n_cam = vertex_normals(v_cam)
+            normals = n_cam @ rot
+            valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
 
         return ShardedKinFuState(
             volume=volume,
+            planes=planes,
             pose=new_pose,
             model_vertices=jnp.where(valid[..., None], verts, 0.0),
             model_normals=jnp.where(valid[..., None], normals, 0.0),

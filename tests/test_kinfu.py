@@ -279,7 +279,9 @@ class TestPipeline:
         state, est = kinfu_run(state, frames, INTR, iterations=(10, 5, 4))
         est = np.asarray(est)
         final_err = np.linalg.norm(est[-1][3, :3] - poses[-1][3, :3])
-        assert final_err < 0.05, f"tracking drift {final_err*1000:.1f}mm over 10 frames"
+        # measured 3.2 mm on the CPU/XLA path; 8 mm (0.8 mm/frame) is
+        # the hard regression bound
+        assert final_err < 0.008, f"tracking drift {final_err*1000:.1f}mm over 10 frames"
         assert int(state.frame_index) == len(frames)
         assert int(state.last_corr) > 3000
 

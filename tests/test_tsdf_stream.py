@@ -480,20 +480,21 @@ class TestFreeSaturation:
         assert n_free_gated == 0
         assert int(gated.count[0]) < int(base.count[0])
 
-        # Saturated quarters must be genuinely free everywhere: every
-        # voxel carved at least sat_w times to (numerically) +1. That
-        # is the invariant that makes skipping them a no-op.
+        # Saturated quarters must hold the invariant that makes skipping
+        # them a no-op: every OBSERVED voxel is fully carved (t ~ +1)
+        # with at least sat_w observations, and something was observed.
+        # (Unobserved voxels already hold the initial t=+1 at w=0.)
         nbx = res // 8
-        w = np.asarray(vol.weight).reshape(
-            nbx, 8, nbx, 8, res // 128, N_QUARTERS, 32
-        )
-        t = np.asarray(vol.tsdf).reshape(
-            nbx, 8, nbx, 8, res // 128, N_QUARTERS, 32
-        )
-        w_min = w.min(axis=(1, 3, 6))  # (ci, cj, ck, quarter)
-        t_min = t.min(axis=(1, 3, 6))
-        assert (w_min[sat] >= sat_w).all()
-        assert (t_min[sat] > 0.999).all()
+        shape6 = (nbx, 8, nbx, 8, res // 128, N_QUARTERS, 32)
+        w = np.asarray(vol.weight).reshape(shape6)
+        t = np.asarray(vol.tsdf).reshape(shape6)
+        obs = w > 0
+        w_obs_min = np.where(obs, w, np.inf).min(axis=(1, 3, 6))
+        t_obs_min = np.where(obs, t, 1.0).min(axis=(1, 3, 6))
+        any_obs = obs.any(axis=(1, 3, 6))
+        assert (w_obs_min[sat] >= sat_w).all()
+        assert (t_obs_min[sat] > 0.999).all()
+        assert any_obs[sat].all()
 
 
 class TestPackedI16Volume:
