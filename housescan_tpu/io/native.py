@@ -29,9 +29,15 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if not _LIB_PATH.exists():
+            src = _NATIVE_DIR / "housescan_native.cpp"
+            stale = (
+                not _LIB_PATH.exists()
+                or src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+            )
+            if stale:
                 subprocess.run(
-                    ["make", "-s"], cwd=_NATIVE_DIR, check=True, capture_output=True
+                    ["make", "-s", "-B"], cwd=_NATIVE_DIR, check=True,
+                    capture_output=True,
                 )
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.parse_ascii_floats.restype = ctypes.c_size_t
@@ -56,6 +62,15 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            for fn in ("lzf_decompress", "lzf_compress"):
+                f = getattr(lib, fn)
+                f.restype = ctypes.c_size_t
+                f.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_size_t,
+                ]
             _lib = lib
         except Exception:
             _lib = None
@@ -126,3 +141,116 @@ def transform_points(points: np.ndarray, proj_rowvec: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def _lzf_decompress_py(data: bytes, out_len: int) -> bytes:
+    """Pure-Python LZF decode (toolchain-free fallback)."""
+    out = bytearray()
+    ip, n = 0, len(data)
+    while ip < n:
+        ctrl = data[ip]
+        ip += 1
+        if ctrl < 0x20:
+            run = ctrl + 1
+            if ip + run > n or len(out) + run > out_len:
+                raise ValueError("malformed LZF stream")
+            out += data[ip : ip + run]
+            ip += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                if ip >= n:
+                    raise ValueError("malformed LZF stream")
+                length += data[ip]
+                ip += 1
+            length += 2
+            if ip >= n:
+                raise ValueError("malformed LZF stream")
+            dist = ((ctrl & 0x1F) << 8 | data[ip]) + 1
+            ip += 1
+            pos = len(out) - dist
+            if pos < 0 or len(out) + length > out_len:
+                raise ValueError("malformed LZF stream")
+            for _ in range(length):  # overlap-safe byte copy
+                out.append(out[pos])
+                pos += 1
+    return bytes(out)
+
+
+def lzf_decompress(data: bytes, out_len: int) -> bytes:
+    """Decompress an LZF stream to exactly ``out_len`` bytes.
+
+    Raises ValueError on malformed input or a length mismatch (the PCL
+    binary_compressed header states the uncompressed size up front).
+    """
+    lib = _load()
+    if lib is None:
+        out = _lzf_decompress_py(data, out_len)
+    else:
+        buf = (ctypes.c_ubyte * out_len)()
+        n = lib.lzf_decompress(data, len(data), buf, out_len)
+        if n == 0 and out_len > 0:
+            raise ValueError("malformed LZF stream")
+        out = bytes(buf[:n])
+    if len(out) != out_len:
+        raise ValueError(
+            f"LZF stream decompressed to {len(out)} bytes, expected {out_len}"
+        )
+    return out
+
+
+def _lzf_compress_py(data: bytes) -> bytes:
+    """Pure-Python greedy LZF encode (mirrors the native codec)."""
+    n = len(data)
+    out = bytearray()
+    htab: dict = {}
+    ip = 0
+    lit_start = 0
+
+    def flush(end: int) -> None:
+        i = lit_start
+        while i < end:
+            run = min(end - i, 32)
+            out.append(run - 1)
+            out.extend(data[i : i + run])
+            i += run
+
+    while ip + 2 < n:
+        key = data[ip : ip + 3]
+        ref = htab.get(key, -1)
+        htab[key] = ip
+        if ref >= 0 and ip - ref <= 0x2000:
+            maxlen = min(n - ip, 264)
+            length = 3
+            while length < maxlen and data[ref + length] == data[ip + length]:
+                length += 1
+            flush(ip)
+            dist = ip - ref - 1
+            lcode = length - 2
+            if lcode < 7:
+                out.append((lcode << 5) | (dist >> 8))
+                out.append(dist & 0xFF)
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(lcode - 7)
+                out.append(dist & 0xFF)
+            ip += length
+            lit_start = ip
+        else:
+            ip += 1
+    flush(n)
+    return bytes(out)
+
+
+def lzf_compress(data: bytes) -> bytes:
+    """LZF-compress ``data`` (the codec PCL uses for binary_compressed
+    .pcd payloads)."""
+    lib = _load()
+    if lib is None:
+        return _lzf_compress_py(data)
+    cap = len(data) + len(data) // 32 + 64
+    buf = (ctypes.c_ubyte * cap)()
+    m = lib.lzf_compress(data, len(data), buf, cap)
+    if m == 0 and len(data) > 0:
+        return _lzf_compress_py(data)  # shouldn't happen; be safe
+    return bytes(buf[:m])

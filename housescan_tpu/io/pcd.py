@@ -2,9 +2,10 @@
 
 Capability parity with the reference's pcd-loader usage
 (ref Main.hs:1320-1345): load xyz clouds, or xyz+rgb(+normal) clouds with
-colors unpacked to floats in [0, 1]. Supports ``ascii`` and ``binary``
-DATA encodings (PCL's two uncompressed formats); ``binary_compressed``
-(LZF) is rejected with a clear error.
+colors unpacked to floats in [0, 1]. Supports all three PCL DATA
+encodings: ``ascii``, ``binary`` and ``binary_compressed`` (LZF over
+the field-major plaintext; codec in native/housescan_native.cpp with a
+pure-Python fallback).
 
 When the native acceleration library is available
 (housescan_tpu.io.native), large binary/ascii payload parsing is
@@ -130,10 +131,40 @@ def load_pcd(path: Union[str, Path]) -> PointCloud:
             )
         rec = np.frombuffer(payload, dtype=dtype, count=n_points)
     elif mode == "binary_compressed":
-        raise PcdFormatError(
-            "binary_compressed (LZF) PCD files are not supported; "
-            "re-export with 'pcl_convert_pcd_ascii_binary <in> <out> 0|1'"
-        )
+        # PCL layout: u32 compressed_size, u32 uncompressed_size, then
+        # an LZF blob whose plaintext is FIELD-MAJOR (SoA): all x's,
+        # then all y's, ... (each field block is count*size*n bytes).
+        from housescan_tpu.io import native
+
+        head = data[payload_start : payload_start + 8]
+        if len(head) < 8:
+            raise PcdFormatError("binary_compressed PCD missing size header")
+        comp_size, uncomp_size = np.frombuffer(head, "<u4", 2)
+        blob = data[payload_start + 8 : payload_start + 8 + int(comp_size)]
+        if len(blob) < comp_size:
+            raise PcdFormatError(
+                f"binary_compressed payload truncated: {len(blob)} bytes, "
+                f"expected {int(comp_size)}"
+            )
+        expect = n_points * dtype.itemsize
+        if int(uncomp_size) != expect:
+            raise PcdFormatError(
+                f"binary_compressed size mismatch: header says "
+                f"{int(uncomp_size)}, fields need {expect}"
+            )
+        try:
+            raw = native.lzf_decompress(bytes(blob), int(uncomp_size))
+        except ValueError as e:
+            raise PcdFormatError(f"binary_compressed payload: {e}") from None
+        rec = np.empty(n_points, dtype=dtype)
+        off = 0
+        for (name, count), (typ, size) in zip(
+            zip(fields, counts), zip(types, sizes)
+        ):
+            nbytes = count * size * n_points
+            block = np.frombuffer(raw[off : off + nbytes], _PCD_DTYPES[(typ, size)])
+            rec[name] = block.reshape(rec[name].shape, order="C")
+            off += nbytes
     else:
         raise PcdFormatError(f"unknown PCD DATA mode {mode!r}")
 
@@ -179,8 +210,14 @@ def save_pcd(
     path: Union[str, Path],
     cloud: Union[PointCloud, np.ndarray],
     binary: bool = True,
+    compressed: bool = False,
 ) -> None:
-    """Write a PointCloud (or raw (N, 3) array) as .pcd."""
+    """Write a PointCloud (or raw (N, 3) array) as .pcd.
+
+    ``compressed=True`` writes PCL's ``binary_compressed`` encoding
+    (LZF over the field-major/SoA plaintext) — the format real PCL
+    exports default to, see load-path parity at ref Main.hs:1320-1345.
+    """
     if isinstance(cloud, np.ndarray):
         cloud = PointCloud(points=np.asarray(cloud, np.float32))
     n = len(cloud)
@@ -210,6 +247,10 @@ def save_pcd(
     sizes = " ".join("4" for _ in fields)
     types = " ".join("F" for _ in fields)
     counts = " ".join("1" for _ in fields)
+    if compressed:
+        mode = "binary_compressed"
+    else:
+        mode = "binary" if binary else "ascii"
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
@@ -221,10 +262,19 @@ def save_pcd(
         "HEIGHT 1\n"
         "VIEWPOINT 0 0 0 1 0 0 0\n"
         f"POINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {mode}\n"
     )
     path = Path(path)
-    if binary:
+    if compressed:
+        from housescan_tpu.io import native
+
+        soa = b"".join(
+            np.ascontiguousarray(rec[name]).tobytes() for name in rec.dtype.names
+        )
+        blob = native.lzf_compress(soa)
+        sizes_hdr = np.array([len(blob), len(soa)], "<u4").tobytes()
+        path.write_bytes(header.encode("ascii") + sizes_hdr + blob)
+    elif binary:
         path.write_bytes(header.encode("ascii") + rec.tobytes())
     else:
         rows = []

@@ -85,4 +85,98 @@ void transform_points(const float* pts, size_t n, const float* m,
   }
 }
 
+// LZF stream codec (the algorithm PCL uses for DATA binary_compressed
+// .pcd payloads; ref Main.hs:1320-1345 loads such exports via PCL).
+// Stream grammar: a control byte c < 0x20 introduces a literal run of
+// c+1 bytes; otherwise a back-reference of length (c >> 5) + 2 (with
+// an extension byte when c >> 5 == 7) at distance
+// ((c & 0x1f) << 8 | next) + 1. Returns 0 on malformed/overflowing
+// input (the Python caller raises).
+size_t lzf_decompress(const unsigned char* in, size_t in_len,
+                      unsigned char* out, size_t out_len) {
+  size_t ip = 0, op = 0;
+  while (ip < in_len) {
+    unsigned int ctrl = in[ip++];
+    if (ctrl < 0x20) {  // literal run
+      size_t run = ctrl + 1;
+      if (ip + run > in_len || op + run > out_len) return 0;
+      for (size_t i = 0; i < run; ++i) out[op++] = in[ip++];
+    } else {  // back reference
+      size_t len = ctrl >> 5;
+      if (len == 7) {
+        if (ip >= in_len) return 0;
+        len += in[ip++];
+      }
+      len += 2;
+      if (ip >= in_len) return 0;
+      size_t dist = ((ctrl & 0x1f) << 8 | in[ip++]) + 1;
+      if (dist > op || op + len > out_len) return 0;
+      const unsigned char* ref = out + op - dist;
+      for (size_t i = 0; i < len; ++i) out[op++] = *ref++;  // may overlap
+    }
+  }
+  return op;
+}
+
+// Greedy hash-chain LZF compressor (libLZF-style 3-byte hashing).
+// Worst case output is in_len + in_len/32 + 16; the caller must size
+// `out` accordingly. Returns the compressed size, or 0 if out_cap is
+// too small.
+size_t lzf_compress(const unsigned char* in, size_t in_len,
+                    unsigned char* out, size_t out_cap) {
+  const size_t HSIZE = 1 << 14;
+  std::vector<size_t> htab(HSIZE, (size_t)-1);
+  size_t ip = 0, op = 0;
+  size_t lit_start = 0;  // start of the pending literal run
+
+  auto flush_literals = [&](size_t end) -> bool {
+    size_t i = lit_start;
+    while (i < end) {
+      size_t run = end - i;
+      if (run > 32) run = 32;
+      if (op + 1 + run > out_cap) return false;
+      out[op++] = (unsigned char)(run - 1);
+      for (size_t k = 0; k < run; ++k) out[op++] = in[i++];
+    }
+    return true;
+  };
+
+  while (ip + 2 < in_len) {
+    unsigned int h =
+        (((unsigned int)in[ip] << 10) ^ ((unsigned int)in[ip + 1] << 5) ^
+         (unsigned int)in[ip + 2]) &
+        (HSIZE - 1);
+    size_t ref = htab[h];
+    htab[h] = ip;
+    if (ref != (size_t)-1 && ip - ref <= 0x2000 && ref + 2 < in_len &&
+        in[ref] == in[ip] && in[ref + 1] == in[ip + 1] &&
+        in[ref + 2] == in[ip + 2]) {
+      // extend the match; LZF length field caps at 7 + 255 + 2 = 264
+      size_t maxlen = in_len - ip;
+      if (maxlen > 264) maxlen = 264;
+      size_t len = 3;
+      while (len < maxlen && in[ref + len] == in[ip + len]) ++len;
+      if (!flush_literals(ip)) return 0;
+      size_t dist = ip - ref - 1;
+      size_t lcode = len - 2;
+      if (lcode < 7) {
+        if (op + 2 > out_cap) return 0;
+        out[op++] = (unsigned char)((lcode << 5) | (dist >> 8));
+        out[op++] = (unsigned char)(dist & 0xff);
+      } else {
+        if (op + 3 > out_cap) return 0;
+        out[op++] = (unsigned char)((7u << 5) | (dist >> 8));
+        out[op++] = (unsigned char)(lcode - 7);
+        out[op++] = (unsigned char)(dist & 0xff);
+      }
+      ip += len;
+      lit_start = ip;
+    } else {
+      ++ip;
+    }
+  }
+  if (!flush_literals(in_len)) return 0;
+  return op;
+}
+
 }  // extern "C"

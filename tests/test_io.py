@@ -54,12 +54,52 @@ class TestPcd:
         with pytest.raises(PcdFormatError, match="truncated"):
             load_pcd(tmp_path / "t.pcd")
 
-    def test_binary_compressed_rejected(self, tmp_path):
-        (tmp_path / "z.pcd").write_text(
-            "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
-            "WIDTH 1\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 1\nDATA binary_compressed\n"
+    def test_binary_compressed_round_trip(self, tmp_path, rng):
+        # PCL's default export encoding (LZF over SoA plaintext)
+        pc = PointCloud(
+            points=rng.normal(size=(500, 3)).astype(np.float32),
+            colors=rng.uniform(size=(500, 3)).astype(np.float32),
+            normals=rng.normal(size=(500, 3)).astype(np.float32),
         )
-        with pytest.raises(PcdFormatError, match="binary_compressed"):
+        save_pcd(tmp_path / "z.pcd", pc, compressed=True)
+        raw = (tmp_path / "z.pcd").read_bytes()
+        assert b"DATA binary_compressed" in raw
+        # genuinely compressed (u32 sizes header: comp < uncomp)
+        hdr_end = raw.index(b"binary_compressed\n") + len(b"binary_compressed\n")
+        comp, uncomp = np.frombuffer(raw[hdr_end : hdr_end + 8], "<u4", 2)
+        assert uncomp == 500 * 7 * 4 and 0 < comp
+        loaded = load_pcd(tmp_path / "z.pcd")
+        np.testing.assert_array_equal(loaded.points, pc.points)
+        np.testing.assert_allclose(loaded.colors, pc.colors, atol=1.0 / 255)
+        np.testing.assert_array_equal(loaded.normals, pc.normals)
+
+    def test_binary_compressed_fixture_parses(self, tmp_path):
+        # Hand-built fixture with a KNOWN LZF stream (independent of our
+        # compressor): 2 points, SoA plaintext x0 x1 y0 y1 z0 z1,
+        # emitted as one literal run of 24 bytes (ctrl byte 23).
+        soa = np.array([1.0, 4.0, 2.0, 5.0, 3.0, 6.0], "<f4").tobytes()
+        stream = bytes([23]) + soa
+        header = (
+            "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            "WIDTH 2\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 2\n"
+            "DATA binary_compressed\n"
+        ).encode()
+        sizes = np.array([len(stream), len(soa)], "<u4").tobytes()
+        (tmp_path / "z.pcd").write_bytes(header + sizes + stream)
+        loaded = load_pcd(tmp_path / "z.pcd")
+        np.testing.assert_allclose(loaded.points, [[1, 2, 3], [4, 5, 6]])
+
+    def test_binary_compressed_corrupt_raises(self, tmp_path):
+        header = (
+            "VERSION .7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+            "WIDTH 2\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS 2\n"
+            "DATA binary_compressed\n"
+        ).encode()
+        # back-reference before the start of the output: malformed
+        stream = bytes([0b00100000, 0xFF, 0x00])
+        sizes = np.array([len(stream), 24], "<u4").tobytes()
+        (tmp_path / "z.pcd").write_bytes(header + sizes + stream)
+        with pytest.raises(PcdFormatError, match="binary_compressed|LZF"):
             load_pcd(tmp_path / "z.pcd")
 
     def test_missing_xyz_raises(self, tmp_path):
