@@ -67,6 +67,39 @@ L3_V = 64
 L3_U = 256
 
 
+class FreeWorkList(NamedTuple):
+    """Compacted pure-free 4x4x1-chunk SUPERBLOCK list.
+
+    At steady state ~80% of listed chunks are plain free-space carving,
+    and the streaming integrate's cost there is per-entry pipeline
+    bookkeeping (~1.35us), not math. Free chunks are spatially
+    contiguous: measured on the bench scene, 4x4 chunk (32, 32, 128)
+    voxel superblocks grouping (x//4, y//4, z) cover ALL free chunks
+    with zero spill into band/refine superblocks. Such superblocks are
+    routed to the minimal free-carve kernel
+    (ops/tsdf_stream.py free_carve_superblocks) as ONE entry each,
+    ~15x fewer grid steps for the same voxel updates.
+
+    A superblock is eligible iff every listed chunk in it is FREE with
+    no observed negative tsdf voxel (``neg_flags``, persisted by the
+    integrate in planes[..., FIELD_SAT, 4]): carving a no-negative
+    chunk can never create a zero crossing, so the free kernel skips
+    plane refitting entirely and keeps members' persistent planes by
+    copy. Free chunks with negatives (rare: disocclusion carving of
+    solid space) spill to the main kernel, which refits their planes.
+
+    ``bitmap`` holds 16 member bits (bit qi*4 + qj, qi = x sub-block,
+    qj = y): 1 = run the free-carve body, 0 = keep the chunk untouched
+    (SKIP members: out of frustum / behind / saturated).
+    """
+
+    bitmap: jnp.ndarray  # (n_sb,) int32 member bits, padded
+    count: jnp.ndarray  # (1,) int32 number of real entries
+    bi: jnp.ndarray  # (n_sb,) int32 superblock coords (32-voxel units)
+    bj: jnp.ndarray
+    bk: jnp.ndarray  # chunk z index (128-voxel units)
+
+
 class WorkList(NamedTuple):
     packed: jnp.ndarray  # (n_entries,) int32: half-descriptors 0-1, padded
     packed_hi: jnp.ndarray  # (n_entries,) int32: half-descriptors 2-3 (NOOP
@@ -165,7 +198,9 @@ def build_worklist(
     trunc: jnp.ndarray,
     sat_quarters: jnp.ndarray = None,
     block_x0=0,
-) -> WorkList:
+    neg_flags: jnp.ndarray = None,
+    free_split: bool = False,
+):
     """Classify all (8, 8, 128) chunks and compact the non-SKIP ones.
 
     ``resolution`` is an int (cubic volume) or an (nx, ny, nz) dims
@@ -183,6 +218,14 @@ def build_worklist(
     saturated free chunks drop out of the work list. Any frame that
     sees a surface in a quarter's footprint makes it non-free and the
     chunk is visited normally.
+
+    With ``free_split=True`` (and 4-divisible x/y block counts) returns
+    ``(WorkList, FreeWorkList)``: pure-free superblocks (see
+    FreeWorkList) move off the main list onto the compact free list.
+    ``neg_flags`` ((n,) bool, chunk raster order) marks chunks with an
+    observed negative tsdf voxel — those never take the free-kernel
+    shortcut because carving them can surface a zero crossing that
+    needs a plane refit.
     """
     if isinstance(resolution, int):
         dims = (resolution, resolution, resolution)
@@ -401,6 +444,63 @@ def build_worklist(
     # need the in-kernel per-voxel bbox refine.
     cls = jnp.where(free, CLS_FREE, jnp.where(clean, CLS_BAND, CLS_REFINE))
 
+    # ---- pure-free superblock split (see FreeWorkList) ----
+    free_wl = None
+    if free_split and nbx_x % 4 == 0 and nbx_y % 4 == 0:
+        neg = (
+            neg_flags
+            if neg_flags is not None
+            else jnp.zeros((n,), bool)
+        )
+        free_ok = free & ~skip & ~neg
+        blocker = ~skip & ~free_ok  # listed chunks the free kernel can't run
+
+        def g(a):  # (n,) -> (nsx, 4, nsy, 4, nzc), ci-major raster order
+            return a.reshape(nbx_x // 4, 4, nbx_y // 4, 4, nzc)
+
+        sb_block = jnp.any(g(blocker), axis=(1, 3))  # (nsx, nsy, nzc)
+        sb_ok = jnp.any(g(free_ok), axis=(1, 3)) & ~sb_block
+        in_free = g(free_ok) & sb_ok[:, None, :, None, :]
+        skip = skip | in_free.reshape(n)  # off the main list
+
+        bitmap = jnp.zeros(sb_ok.shape, jnp.int32)
+        for qi in range(4):
+            for qj in range(4):
+                bitmap = bitmap | (
+                    in_free[:, qi, :, qj, :].astype(jnp.int32)
+                    << (qi * 4 + qj)
+                )
+        n_sb = bitmap.size
+        sb_skip = ~sb_ok.reshape(n_sb)
+        sb_ids = jnp.arange(n_sb, dtype=jnp.int32)
+        nsy = nbx_y // 4
+        sbi = sb_ids // (nsy * nzc)
+        sbj = (sb_ids // nzc) % nsy
+        sbk = sb_ids % nzc
+        sb_coords = (sbi | (sbj << 7) | (sbk << 14)).astype(jnp.int32)
+        sorder = jnp.argsort(sb_skip, stable=True)
+        s_bitmap = bitmap.reshape(n_sb)[sorder]
+        s_coords = sb_coords[sorder]
+        sb_count = jnp.sum(sb_ok).astype(jnp.int32)
+        lastb = jnp.where(
+            sb_count > 0, s_bitmap[jnp.maximum(sb_count - 1, 0)], 0
+        )
+        lastc = jnp.where(
+            sb_count > 0, s_coords[jnp.maximum(sb_count - 1, 0)], 0
+        )
+        ssteps = jnp.arange(n_sb, dtype=jnp.int32)
+        fb = jnp.where(ssteps < sb_count, s_bitmap, lastb)
+        fb = jnp.where(sb_count > 0, fb, jnp.zeros((n_sb,), jnp.int32))
+        fc = jnp.where(ssteps < sb_count, s_coords, lastc)
+        fc = jnp.where(sb_count > 0, fc, jnp.zeros((n_sb,), jnp.int32))
+        free_wl = FreeWorkList(
+            bitmap=fb,
+            count=jnp.maximum(sb_count, 1).reshape(1),
+            bi=fc & 127,
+            bj=(fc >> 7) & 127,
+            bk=(fc >> 14) & 127,
+        )
+
     # ---- band-window level + aligned origin (matches ops/tsdf_stream) --
     # Window must cover the clipped bbox of the UPDATABLE quarters after
     # aligning the origin DOWN (rows to 8, cols to 64): fits(l) iff
@@ -502,7 +602,7 @@ def build_worklist(
     wc = jnp.where(steps < count, sorted_coords, last_c)
     wc = jnp.where(count > 0, wc, jnp.zeros((n_super,), jnp.int32))
     count = jnp.maximum(count, 1)
-    return WorkList(
+    out = WorkList(
         packed=wl,
         packed_hi=wh,
         count=count.reshape(1),
@@ -511,6 +611,9 @@ def build_worklist(
         bk=(wc >> 14) & 15,
         super_z=super_z,
     )
+    if free_split:
+        return out, free_wl
+    return out
 
 
 def decode_worklist(wl: WorkList):

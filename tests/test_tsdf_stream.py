@@ -375,7 +375,21 @@ class TestNoopHalfPlanes:
         planes = jnp.zeros(planes_shape(256), jnp.float32)
         vol, planes = _integrate_stream(vol, planes, d0, p0)
 
-        wl = build_worklist(d1, p1, INTR, 256, vol.voxel_size, vol.origin, vol.trunc)
+        # Decode the MAIN work list exactly as the integrate builds it
+        # (free_split routes pure-free superblocks to the free-carve
+        # kernel, so they are no longer main-listed): NOOP halves are
+        # siblings of MAIN-listed chunks only.
+        from housescan_tpu.ops.tsdf_stream import FIELD_SAT, N_QUARTERS
+
+        pnp = np.asarray(planes)
+        sat_np = pnp[:, :, :, FIELD_SAT, :N_QUARTERS].reshape(-1, N_QUARTERS) > 0.5
+        neg_np = pnp[:, :, :, FIELD_SAT, N_QUARTERS].reshape(-1) > 0.5
+        wl, _ = build_worklist(
+            d1, p1, INTR, 256, vol.voxel_size, vol.origin, vol.trunc,
+            sat_quarters=jnp.asarray(sat_np),
+            neg_flags=jnp.asarray(neg_np),
+            free_split=True,
+        )
         decoded = {(ci, cj, ck) for ci, cj, ck, *_ in decode_worklist(wl)}
         noop_halves = []
         for ci, cj, ck in decoded:
@@ -433,10 +447,11 @@ class TestFreeSaturation:
         )
 
         # Empty room, camera at one end looking down +z: deep clear free
-        # space whose (8, 8, 32) quarters fully saturate. 256^3 keeps
-        # quarter z-extent at 0.375 m (128^3 quarters span 0.75 m and
-        # almost always clip a surface).
-        res, sat_w = 256, 3.0
+        # space saturates. At 128^3 quarters span 0.75 m, so fewer (32)
+        # chunks classify fully FREE than at production resolutions —
+        # enough to prove the gating; 256^3 costs ~5 min of single-core
+        # interpret-mode compile+run for no extra semantics.
+        res, sat_w = 128, 3.0
         pose = np.eye(4, dtype=np.float32)
         pose[3, 2] = -1.2
         d0 = jnp.asarray(render_depth_stream(INTR, [pose], 1.5)[0])
@@ -444,6 +459,11 @@ class TestFreeSaturation:
         vol = tsdf_new(res, 3.0, 0.06)
         planes = jnp.zeros(planes_shape(res), jnp.float32)
 
+        # free_split=False: saturation gating is MAIN-kernel semantics
+        # (the free-kernel's FIELD_SAT parity is covered by
+        # TestFreeSuperblockSplit); skipping the free kernel here saves
+        # a ~2-minute single-core interpret-mode compile of a program
+        # no other test shares (sat_w is a static arg).
         n_frames = int(sat_w) + 3
         for _ in range(n_frames):
             vol, planes = tsdf_integrate_stream(
@@ -454,6 +474,7 @@ class TestFreeSaturation:
                 INTR,
                 interpret=True,
                 sat_w=sat_w,
+                free_split=False,
             )
 
         sat = np.asarray(planes)[:, :, :, FIELD_SAT, :N_QUARTERS] > 0.5
@@ -476,7 +497,7 @@ class TestFreeSaturation:
         )
         n_free_base = sum(1 for r in decode_worklist(base) if r[3] == 0)
         n_free_gated = sum(1 for r in decode_worklist(gated) if r[3] == 0)
-        assert n_free_base > 100
+        assert n_free_base > 20
         assert n_free_gated == 0
         assert int(gated.count[0]) < int(base.count[0])
 
@@ -578,3 +599,76 @@ class TestBilateralPallas:
         np.testing.assert_allclose(got, want, atol=2e-5)
         # exact zero preservation at invalid pixels
         assert (got[40:50, 60:70] == 0).all()
+
+
+class TestFreeSuperblockSplit:
+    """The pure-free superblock shortcut (chunk_select.FreeWorkList +
+    tsdf_stream._free_kernel) must be invisible: volume AND planes
+    bit-identical to the unsplit streaming path over a multi-frame
+    scene, for both volume layouts."""
+
+    def _run(self, dtype, res=128, n=3):
+        frames, poses = _scene(n=n, yaw=0.3)
+        vol_a = tsdf_new(res, 3.0, 0.06, dtype=dtype)
+        vol_b = tsdf_new(res, 3.0, 0.06, dtype=dtype)
+        pa = jnp.zeros(planes_shape(res), jnp.float32)
+        pb = jnp.zeros(planes_shape(res), jnp.float32)
+        for d, p in zip(frames, poses):
+            d, p = jnp.asarray(d), jnp.asarray(p)
+            vol_a, pa = tsdf_integrate_stream(
+                jax.tree_util.tree_map(jnp.copy, vol_a), jnp.copy(pa),
+                d, p, INTR, interpret=True, free_split=True,
+            )
+            vol_b, pb = tsdf_integrate_stream(
+                jax.tree_util.tree_map(jnp.copy, vol_b), jnp.copy(pb),
+                d, p, INTR, interpret=True, free_split=False,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(vol_a.data), np.asarray(vol_b.data)
+        )
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+    def test_split_parity_packed(self):
+        self._run(jnp.int32)
+
+    def test_split_parity_float(self):
+        self._run(jnp.float32, n=2)
+
+    def test_split_actually_fires(self):
+        """The scene must produce a non-empty free superblock list,
+        otherwise the parity test is vacuous."""
+        from housescan_tpu.ops.tsdf_stream import FIELD_SAT, N_QUARTERS
+
+        frames, poses = _scene(n=2, yaw=0.3)
+        res = 128
+        vol = tsdf_new(res, 3.0, 0.06)
+        planes = jnp.zeros(planes_shape(res), jnp.float32)
+        vol, planes = _integrate_stream(
+            vol, planes, jnp.asarray(frames[0]), jnp.asarray(poses[0])
+        )
+        pnp = np.asarray(planes)
+        sat = pnp[:, :, :, FIELD_SAT, :N_QUARTERS].reshape(-1, N_QUARTERS) > 0.5
+        neg = pnp[:, :, :, FIELD_SAT, N_QUARTERS].reshape(-1) > 0.5
+        wl_plain = build_worklist(
+            jnp.asarray(frames[1]), jnp.asarray(poses[1]), INTR, res,
+            vol.voxel_size, vol.origin, vol.trunc,
+            sat_quarters=jnp.asarray(sat),
+        )
+        wl_split, fwl = build_worklist(
+            jnp.asarray(frames[1]), jnp.asarray(poses[1]), INTR, res,
+            vol.voxel_size, vol.origin, vol.trunc,
+            sat_quarters=jnp.asarray(sat), neg_flags=jnp.asarray(neg),
+            free_split=True,
+        )
+        assert fwl is not None
+        n_free = int(np.asarray(fwl.count)[0])
+        assert n_free > 0
+        # every free-kernel member chunk left the main list
+        n_plain = int(np.asarray(wl_plain.count)[0])
+        n_main = int(np.asarray(wl_split.count)[0])
+        members = int(
+            sum(bin(int(b)).count("1")
+                for b in np.asarray(fwl.bitmap)[:n_free])
+        )
+        assert members >= n_free  # at least one member per superblock
+        assert n_main <= n_plain
