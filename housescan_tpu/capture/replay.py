@@ -152,18 +152,19 @@ class PrefetchingSource:
 
 
 def take_depth_snapshot(config: Optional[CameraConfig] = None):
-    """Live single-frame capture (ref HoniHelper.hs:20-42).
+    """Live single-frame capture (ref HoniHelper.hs:20-42): one frame
+    from the best available live device (capture/live.py — a real
+    OpenNI camera, or the HOUSESCAN_FAKE_DEVICE recorded-device
+    fixture). Warns and returns None when no device binds, like the
+    reference with no camera present (ref Main.hs:1288-1289)."""
+    from housescan_tpu.capture.live import open_live_source
 
-    No OpenNI device stack exists in this environment; like the
-    reference when no camera is present, this warns and returns None
-    (ref Main.hs:1288-1289) — recorded streams are the supported path.
-    """
-    print(
-        "WARNING: no depth camera backend available; use recorded streams "
-        "(capture.replay.ReplaySource)",
-        file=sys.stderr,
-    )
-    return None
+    src = open_live_source(config)
+    if src is None:
+        return None
+    frame = src.read()
+    src.stop()
+    return frame
 
 
 def depth_frame_to_cloud(depth: np.ndarray, intr: Intrinsics) -> np.ndarray:
