@@ -65,20 +65,104 @@ def _room_by_id(scene, room_id):
     return scene.rooms[room_id]
 
 
+def _scan_config(args):
+    """Config with the volume geometry flags applied (None = defaults)."""
+    if args.resolution is None and args.size_m is None:
+        return None
+    from dataclasses import replace
+
+    from housescan_tpu.config import Config
+
+    cfg = Config()
+    tsdf = cfg.tsdf
+    if args.resolution is not None:
+        tsdf = replace(tsdf, resolution=args.resolution)
+    if args.size_m is not None:
+        tsdf = replace(tsdf, size_m=args.size_m)
+    return replace(cfg, tsdf=tsdf)
+
+
+def _add_volume_flags(p):
+    p.add_argument(
+        "--resolution", type=int, default=None, metavar="N",
+        help="TSDF voxels per side (default 512; must be a multiple of "
+        "128 for the TPU streaming kernels)",
+    )
+    p.add_argument(
+        "--size-m", type=float, default=None, metavar="M",
+        help="TSDF cube edge in meters (default 3.0)",
+    )
+
+
 def cmd_scan(args):
-    from housescan_tpu.capture.replay import load_stream
     from housescan_tpu.kinfu.scan import scan_to_room_dir
 
-    stream = load_stream(args.stream)
+    if args.live:
+        from housescan_tpu.capture.live import LiveStream, open_live_source
+
+        src = open_live_source(realtime=args.realtime)
+        if src is None:
+            raise SystemExit(
+                "no live depth device (set HOUSESCAN_FAKE_DEVICE to a "
+                "recorded stream to test the live path)"
+            )
+        stream = LiveStream(src, max_frames=args.max_frames)
+    else:
+        if not args.stream:
+            raise SystemExit("scan needs a stream file (or --live)")
+        from housescan_tpu.capture.replay import load_stream
+
+        stream = load_stream(args.stream)
     out = scan_to_room_dir(
         stream,
         args.out,
+        config=_scan_config(args),
         write_mesh=args.mesh,
         progress=True,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
     )
-    print(f"scanned {len(stream)} frames -> {out}")
+    if args.live:
+        src.stop()
+        print(
+            f"live scan: fused {src.frames_read} frames "
+            f"(dropped {src.dropped}) -> {out}"
+        )
+    else:
+        print(f"scanned {len(stream)} frames -> {out}")
+
+
+def cmd_scan_building(args):
+    from housescan_tpu.capture.replay import load_stream
+    from housescan_tpu.kinfu.building import RoomScan, scan_building
+
+    rooms = [
+        RoomScan(name=Path(s).stem, stream=load_stream(s))
+        for s in args.streams
+    ]
+    mesh = None
+    if args.sharded:
+        import jax
+        from jax.sharding import Mesh
+
+        from housescan_tpu.parallel.mesh import VOLUME_AXIS
+
+        mesh = Mesh(np.array(jax.devices()), (VOLUME_AXIS,))
+    scene, fitted, out = scan_building(
+        rooms,
+        args.out,
+        config=_scan_config(args),
+        mesh=mesh,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        progress=True,
+        write_mesh=args.mesh,
+    )
+    _save_scene(scene, args.scene)
+    print(
+        f"scanned {len(rooms)} rooms -> {out} "
+        f"({len(fitted)} fitted); scene saved to {args.scene}"
+    )
 
 
 def cmd_detect_planes(args):
@@ -401,9 +485,23 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("scan", help="fuse a depth stream into a room directory")
-    p.add_argument("stream")
+    p.add_argument("stream", nargs="?", default=None,
+                   help="recorded stream .npz (omit with --live)")
     p.add_argument("out")
     p.add_argument("--mesh", action="store_true")
+    p.add_argument(
+        "--live", action="store_true",
+        help="capture from the live depth device (or the "
+        "HOUSESCAN_FAKE_DEVICE recorded-device fixture)",
+    )
+    p.add_argument(
+        "--max-frames", type=int, default=300, metavar="N",
+        help="live capture length in frames",
+    )
+    p.add_argument(
+        "--realtime", action="store_true",
+        help="pace the live device at its native frame rate",
+    )
     p.add_argument(
         "--checkpoint-every", type=int, default=0, metavar="N",
         help="write a resumable scan checkpoint every N frames",
@@ -412,7 +510,30 @@ def main(argv=None):
         "--resume", action="store_true",
         help="resume from the room dir's scan checkpoint if present",
     )
+    _add_volume_flags(p)
     p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser(
+        "scan-building",
+        help="fuse N room streams back-to-back into one arranged scene",
+    )
+    p.add_argument("out")
+    p.add_argument("streams", nargs="+", metavar="stream.npz")
+    p.add_argument("--mesh", action="store_true", help="write mesh.ply per room")
+    p.add_argument(
+        "--sharded", action="store_true",
+        help="fuse big rooms on a volume sharded over all devices",
+    )
+    p.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="N",
+        help="frame-granular resumable checkpoint inside each room scan",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="resume: skip finished rooms, continue the in-flight one",
+    )
+    _add_volume_flags(p)
+    p.set_defaults(fn=cmd_scan_building)
 
     p = sub.add_parser("detect-planes", help="RANSAC planes for a cloud")
     p.add_argument("cloud")

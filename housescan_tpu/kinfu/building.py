@@ -1,0 +1,237 @@
+"""Building-scale streaming scan: N rooms back-to-back into one Scene.
+
+BASELINE config 5 ("8+ rooms, multi-core sharded TSDF, real-time
+fusion"). The reference assembled a building by hand: each room was a
+separate external KinFu run, loaded with loadRoom and arranged
+key-by-key (ref Main.hs:2448-2517 houseSetup; :1738-1762 loadRoom).
+Here one orchestrator owns the whole run:
+
+  * rooms fuse back-to-back — on the single-chip streaming Pallas
+    pipeline, or on the X-slab-sharded multi-chip volume
+    (parallel/sharded.py) when a ``jax.sharding.Mesh`` is supplied and
+    the room's volume is large enough to want it;
+  * every finished room is recorded in a building-level checkpoint, and
+    the in-flight room reuses the mid-scan fusion checkpoint
+    (kinfu/scan_checkpoint.py), so a crash anywhere in an hours-long
+    building scan resumes mid-room, not from scratch;
+  * assembly is data-parallel where it batches: corner suggestion per
+    room on the host, then ONE device launch fitting every room's
+    cuboid (parallel/rooms_batch.fit_cuboids_sharded — the room-DP
+    analog of SURVEY.md section 2c);
+  * rooms are chained wall-to-wall (the houseSetup arrangement),
+    positions globally least-squares optimized, and the scene +
+    .xf transforms exported.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from housescan_tpu.capture.replay import DepthStream
+from housescan_tpu.config import Config
+from housescan_tpu.kinfu.scan import scan_to_room_dir, write_room_outputs
+
+
+@dataclass
+class RoomScan:
+    """One room's input to a building scan."""
+
+    name: str
+    stream: DepthStream
+    init_pose: Optional[np.ndarray] = None
+
+
+def _scan_room_sharded(
+    room: RoomScan,
+    out_dir: Path,
+    mesh,
+    config: Config,
+    progress: bool = False,
+    write_mesh: bool = False,
+    interpret: bool = False,
+) -> Path:
+    """Fuse one room on the X-slab-sharded volume and write its room
+    directory. The sharded state keeps the volume distributed across
+    the mesh for the whole stream; only the final surface extraction
+    gathers it to the host."""
+    from housescan_tpu.kinfu.tsdf import TsdfVolume
+    from housescan_tpu.parallel.sharded import (
+        make_sharded_step,
+        sharded_kinfu_init,
+    )
+
+    intr = room.stream.intrinsics
+    tsdf_cfg = config.tsdf
+    use_pallas = (
+        tsdf_cfg.resolution % 128 == 0
+        and (tsdf_cfg.resolution // 8) % mesh.devices.size == 0
+    )
+    state = sharded_kinfu_init(
+        mesh,
+        intr,
+        resolution=tsdf_cfg.resolution,
+        size_m=tsdf_cfg.size_m,
+        trunc=tsdf_cfg.trunc_dist,
+        init_pose=None if room.init_pose is None else jnp.asarray(room.init_pose),
+        use_pallas=use_pallas,
+    )
+    step = make_sharded_step(
+        mesh, intr, use_pallas=use_pallas, interpret=interpret
+    )
+    poses = []
+    for k, frame in enumerate(room.stream):
+        state = step(state, jnp.asarray(frame))
+        poses.append(np.asarray(state.pose))
+        if progress and k % 10 == 0:
+            print(f"  [{room.name}] frame {k}/{len(room.stream)} (sharded)")
+
+    # Gather the slabs into one host-side volume for extraction/export.
+    vol = state.volume
+    full = TsdfVolume(
+        data=jnp.asarray(np.asarray(vol.data)),
+        origin=jnp.asarray(np.asarray(vol.origin)),
+        voxel_size=jnp.asarray(np.asarray(vol.voxel_size)),
+        trunc=jnp.asarray(np.asarray(vol.trunc)),
+    )
+    return write_room_outputs(
+        full, poses, out_dir, config=config, write_mesh=write_mesh
+    )
+
+
+def scan_building(
+    rooms: Sequence[RoomScan],
+    out_dir: Union[str, Path],
+    config: Optional[Config] = None,
+    mesh=None,
+    sharded_min_resolution: int = 512,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    progress: bool = False,
+    write_mesh: bool = False,
+    gap: float = 0.1,
+    interpret: bool = False,
+):
+    """Scan every room, assemble, arrange, optimize, export.
+
+    Returns ``(scene, fitted_rooms, out_dir)``. Rooms at/above
+    ``sharded_min_resolution`` fuse on the sharded multi-chip volume
+    when ``mesh`` is given; smaller rooms use the single-chip pipeline
+    (whose mid-scan checkpoint gives frame-granular resume via
+    ``checkpoint_every``/``resume``). ``out_dir/building_checkpoint.json``
+    records finished rooms so a resumed building run skips them
+    entirely. ``gap`` is the wall-to-wall spacing used when chaining
+    rooms (ref Main.hs:2468: neighbouring rooms connected `opposite`)."""
+    from housescan_tpu.rooms import (
+        Scene,
+        WallRelation,
+        connect_walls,
+        load_room,
+        optimize_room_positions,
+        suggest_corners,
+        export_all_room_xf_files,
+    )
+    from housescan_tpu.rooms.cuboid import apply_cuboid_fit
+    from housescan_tpu.solvers.cuboid_fit import fit_cuboid_batch
+
+    config = config or Config()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    bc_path = out_dir / "building_checkpoint.json"
+    done: List[str] = []
+    if resume and bc_path.exists():
+        done = json.loads(bc_path.read_text()).get("rooms_done", [])
+        if progress and done:
+            print(f"building resume: rooms already scanned: {done}")
+
+    # ---- fuse every room ----
+    room_dirs = []
+    for room in rooms:
+        rd = out_dir / room.name
+        room_dirs.append(rd)
+        if room.name in done and (rd / "planes.txt").exists():
+            continue
+        use_sharded = (
+            mesh is not None
+            and config.tsdf.resolution >= sharded_min_resolution
+        )
+        if progress:
+            kind = "sharded" if use_sharded else "single-chip"
+            print(f"scanning {room.name} ({len(room.stream)} frames, {kind})")
+        if use_sharded:
+            _scan_room_sharded(
+                room, rd, mesh, config,
+                progress=progress, write_mesh=write_mesh,
+                interpret=interpret,
+            )
+        else:
+            scan_to_room_dir(
+                room.stream,
+                rd,
+                config=config,
+                init_pose=room.init_pose,
+                write_mesh=write_mesh,
+                progress=progress,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
+        done.append(room.name)
+        bc_path.write_text(json.dumps({"rooms_done": done}))
+
+    # ---- assemble into one scene ----
+    scene = Scene()
+    loaded = []
+    for rd in room_dirs:
+        r = load_room(scene, rd)
+        r = suggest_corners(scene, r)
+        loaded.append(r)
+
+    # ---- batched cuboid fit: one device launch for the whole floor ----
+    fit_idx = [i for i, r in enumerate(loaded) if len(r.corners) >= 8]
+    fitted = list(loaded)
+    if fit_idx:
+        batch = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([c for _, c in loaded[i].corners[:8]])
+                    for i in fit_idx
+                ]
+            ),
+            jnp.float32,
+        )
+        if mesh is not None and len(fit_idx) % mesh.devices.size == 0:
+            from housescan_tpu.parallel.rooms_batch import fit_cuboids_sharded
+
+            fits = fit_cuboids_sharded(batch, mesh)
+        else:
+            fits = jax.jit(fit_cuboid_batch)(batch)
+        for row, i in enumerate(fit_idx):
+            new_room = apply_cuboid_fit(scene, loaded[i], fits.params[row])
+            if progress:
+                rmse = float(np.sqrt(np.asarray(fits.error[row])))
+                print(f"  {rooms[i].name}: cuboid RMSE {rmse*1000:.2f} mm")
+            fitted[i] = new_room
+
+    # ---- chain rooms wall-to-wall and optimize (houseSetup) ----
+    for a in range(len(fitted) - 1):
+        if len(fitted[a].planes) == 0 or len(fitted[a + 1].planes) == 0:
+            continue
+        pa = min(fitted[a].planes, key=lambda p: p.normal[0])
+        pb = max(fitted[a + 1].planes, key=lambda p: p.normal[0])
+        connect_walls(
+            scene, pa.plane_id, pb.plane_id, WallRelation.opposite(gap)
+        )
+    results = optimize_room_positions(scene)
+    if progress:
+        for axis, nc, rmse in results:
+            print(f"  aligned {axis.name} ({nc} constraints) RMSE {rmse:.5f}")
+    fitted = [scene.rooms[r.room_id] for r in fitted]
+
+    export_all_room_xf_files(scene, out_dir / "xf")
+    return scene, fitted, out_dir

@@ -111,10 +111,37 @@ def scan_to_room_dir(
         if progress and k % 10 == 0:
             print(f"  frame {k}/{len(stream)} icp_rmse={float(state.last_rmse)*1000:.2f}mm")
 
+    return write_room_outputs(
+        state.volume,
+        poses,
+        out_dir,
+        config=config,
+        icp_rmse=float(state.last_rmse),
+        max_points_full=max_points_full,
+        downsample_to=downsample_to,
+        write_mesh=write_mesh,
+    )
+
+
+def write_room_outputs(
+    volume,
+    poses,
+    out_dir: Union[str, Path],
+    config: Optional[Config] = None,
+    icp_rmse: float = 0.0,
+    max_points_full: int = 1 << 20,
+    downsample_to: int = 1 << 16,
+    write_mesh: bool = False,
+) -> Path:
+    """Extract the fused surface and write the reference-layout room
+    directory (clouds, planes.txt + hulls, trajectory, optional mesh).
+    Shared by the single-chip scan loop and the sharded building scan
+    (kinfu/building.py), which fuse differently but export alike."""
+    config = config or Config()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    pts, count = extract_surface_points(state.volume, max_points=max_points_full)
+    pts, count = extract_surface_points(volume, max_points=max_points_full)
     full = np.asarray(pts[: int(count)])
     save_pcd(out_dir / "cloud_bin.pcd", full)
 
@@ -138,15 +165,15 @@ def scan_to_room_dir(
 
     np.savez(
         out_dir / "trajectory.npz",
-        poses=np.stack(poses) if poses else np.zeros((0, 4, 4), np.float32),
-        icp_rmse=float(state.last_rmse),
+        poses=np.stack(poses) if len(poses) else np.zeros((0, 4, 4), np.float32),
+        icp_rmse=icp_rmse,
     )
 
     if write_mesh:
         from housescan_tpu.kinfu.marching_cubes import marching_cubes
         from housescan_tpu.io.ply import save_ply
 
-        mesh = marching_cubes(state.volume)
+        mesh = marching_cubes(volume)
         save_ply(out_dir / "mesh.ply", mesh)
 
     return out_dir

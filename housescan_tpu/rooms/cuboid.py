@@ -120,8 +120,17 @@ def fit_cuboid_to_room(
 
     points = jnp.asarray(np.stack([c for _, c in room.corners[:8]]), jnp.float32)
     fit = fit_cuboid_from_center_first(points, tol=tol, max_iter=max_iter)
-    params = np.asarray(fit.params)
-    cuboid_points = np.asarray(cuboid_from_params(fit.params))
+    new_room = apply_cuboid_fit(scene, room, fit.params)
+    return new_room, float(math.sqrt(float(fit.error))), int(fit.n_steps)
+
+
+def apply_cuboid_fit(scene: Scene, room: Room, fit_params) -> Room:
+    """Swap a fitted cuboid's geometry into the room (the mutation half
+    of fit_cuboid_to_room, ref Main.hs:1830-1849) — shared with the
+    batched room-DP fit (parallel/rooms_batch.py, kinfu/building.py)
+    where params arrive as one row of a device-batched solve."""
+    params = np.asarray(fit_params)
+    cuboid_points = np.asarray(cuboid_from_params(jnp.asarray(fit_params)))
 
     old_plane_ids = {p.plane_id for p in room.planes}
     cuboid_planes = make_planes_from_cuboid(
@@ -142,4 +151,4 @@ def fit_cuboid_to_room(
         for w in scene.connected_walls
         if w[2] not in old_plane_ids and w[3] not in old_plane_ids
     ]
-    return new_room, float(math.sqrt(float(fit.error))), int(fit.n_steps)
+    return new_room
