@@ -79,9 +79,20 @@ def main() -> None:
     compile_s = time.time() - t0
     print(f"# compile+first-frame: {compile_s:.1f}s", file=sys.stderr)
 
+    trace_drift = os.environ.get("HOUSESCAN_BENCH_TRACE", "") == "1"
     t0 = time.time()
     for i in range(1, n_frames + 1):
         state = kinfu_step(state, device_frames[i], intr, use_pallas=use_pallas)
+        if trace_drift:  # per-frame readouts perturb timing: diagnostics only
+            e = (
+                float(np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[i][3, :3]))
+                * 1000.0
+            )
+            print(
+                f"# frame {i}: err {e:6.2f} mm rmse "
+                f"{float(state.last_rmse)*1000:.2f} mm corr {int(state.last_corr)}",
+                file=sys.stderr,
+            )
     float(jnp.sum(state.pose))
     elapsed = time.time() - t0
 

@@ -257,11 +257,8 @@ def _icp_level_iteration(
 
 
 def icp_track(
-    live_vertices: Sequence[jnp.ndarray],
-    live_normals: Sequence[jnp.ndarray],
-    model_vertices: Sequence[jnp.ndarray],
-    model_normals: Sequence[jnp.ndarray],
-    model_valid: Sequence[jnp.ndarray],
+    live_maps: Sequence[jnp.ndarray],
+    model_maps: Sequence[jnp.ndarray],
     prev_pose: jnp.ndarray,
     intr: Intrinsics,
     iterations: Sequence[int] = (10, 5, 4),
@@ -275,16 +272,19 @@ def icp_track(
 ) -> IcpResult:
     """Track the camera for one frame over the pyramid.
 
-    ``live_*`` and ``model_*`` are per-level maps, level 0 = finest.
+    ``live_maps``/``model_maps`` are per-level CHANNEL-MAJOR packed maps
+    (kinfu/maps.py: (6, h, w) live, (8, h, w) model), level 0 = finest.
     ``iterations`` is indexed BY LEVEL like PCL's {10, 5, 4}: entry 0 is
     the finest level's count, the last entry the coarsest's; levels run
     coarse to fine. ``dampings`` is indexed the same way: coarse levels
     see few pixels of mostly 1-2 walls and need MUCH heavier Tikhonov
     damping, or their near-null directions slide ~1mm per iteration
-    (measured) and accumulate into tracking collapse. The initial estimate defaults to the previous pose
-    (constant-position model).
+    (measured) and accumulate into tracking collapse. The initial
+    estimate defaults to the previous pose (constant-position model).
     """
-    n_levels = len(live_vertices)
+    from housescan_tpu.kinfu import maps as mp
+
+    n_levels = len(live_maps)
     pose = prev_pose if init_pose is None else init_pose
     rmse = jnp.asarray(0.0, jnp.float32)
     n_corr = jnp.asarray(0, jnp.int32)
@@ -295,28 +295,21 @@ def icp_track(
         win = windows[level] if len(windows) == n_levels else windows[-1]
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
         lvl_intr = intr.level(level)
-        # Model-map gradients are fixed for the whole frame: compute them
-        # once per level, outside the GN while_loop.
-        grads = _model_gradients(model_vertices[level], model_valid[level])
 
         if use_pallas:
             # One fused launch per level: every GN iteration (assoc +
             # residual + 6x6 reduce + solve + compose) runs inside a
             # single kernel with the pose in SMEM — the XLA loop pays
             # ~150-600us of op-issue latency PER ITERATION on this
-            # backend (ops/icp_pallas.py).
-            from housescan_tpu.ops.icp_pallas import (
-                icp_level_pallas,
-                pack_level_maps,
-            )
+            # backend (ops/icp_pallas.py). Gradients are iteration-
+            # invariant: once per level, channel-major.
+            from housescan_tpu.ops.icp_pallas import BAND_H, icp_level_pallas
 
-            packed = pack_level_maps(
-                live_vertices[level],
-                live_normals[level],
-                model_vertices[level],
-                model_normals[level],
-                model_valid[level],
-                grads,
+            packed = mp.pack_icp_inputs(
+                live_maps[level],
+                model_maps[level],
+                mp.model_gradients(model_maps[level]),
+                band_h=BAND_H,
             )
             pose, lvl_rmse, lvl_corr = icp_level_pallas(
                 packed,
@@ -335,6 +328,13 @@ def icp_track(
             n_corr = jnp.where(use, lvl_corr, n_corr)
             continue
 
+        # XLA fallback (CPU tests / non-tileable shapes): unpack to the
+        # interleaved maps _icp_level_iteration expects. Layout
+        # transposes are fine off the TPU hot path.
+        lv, ln = mp.live_to_hwc(live_maps[level])
+        mv, mn, mok, _ = mp.model_to_hwc(model_maps[level])
+        grads = _model_gradients(mv, mok)
+
         # Iterate until the twist increment is negligible (the usual
         # case after 3-5 iterations) or the level's budget runs out —
         # the classic fixed-count loop wastes most of its iterations
@@ -343,16 +343,16 @@ def icp_track(
             i, _, _, _, norm = carry
             return (i < _iters) & (norm > 1e-5)
 
-        def body(carry, _level=level, _win=win, _intr=lvl_intr, _damp=damp,
-                 _grads=grads):
+        def body(carry, _lv=lv, _ln=ln, _mv=mv, _mn=mn, _mok=mok,
+                 _win=win, _intr=lvl_intr, _damp=damp, _grads=grads):
             i, p, _, _, _ = carry
             p2, rm, nc, norm = _icp_level_iteration(
                 p,
-                live_vertices[_level],
-                live_normals[_level],
-                model_vertices[_level],
-                model_normals[_level],
-                model_valid[_level],
+                _lv,
+                _ln,
+                _mv,
+                _mn,
+                _mok,
                 _grads,
                 prev_pose,
                 _intr,
@@ -383,7 +383,3 @@ def icp_track(
     return IcpResult(pose, rmse, n_corr)
 
 
-def downsample_map(m: jnp.ndarray) -> jnp.ndarray:
-    """Halve a (H, W, C) or (H, W) map by point sampling (for building the
-    model pyramid from a full-res raycast, PCL's resize step)."""
-    return m[::2, ::2]

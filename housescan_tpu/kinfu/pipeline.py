@@ -16,9 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from housescan_tpu.config import Config
+from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
-from housescan_tpu.kinfu.icp import IcpResult, downsample_map, icp_track
-from housescan_tpu.kinfu.preprocess import build_pyramid, depth_to_vertices, vertex_normals
+from housescan_tpu.kinfu.icp import IcpResult, icp_track
+from housescan_tpu.kinfu.preprocess import build_pyramid
 from housescan_tpu.kinfu.raycast import raycast
 from housescan_tpu.kinfu.tsdf import TsdfVolume, tsdf_integrate, tsdf_new
 
@@ -32,14 +33,11 @@ class KinFuState(NamedTuple):
     # is not (8,8,128)-tileable (CPU/XLA path).
     planes: jnp.ndarray
     pose: jnp.ndarray  # (4, 4) current camera-to-world
-    # Raycast model maps rendered at model_pose (world frame), full res.
-    # model_pose is the constant-velocity PREDICTION of the next frame's
-    # camera, so the next ICP's projective flow is only prediction error
-    # (a pixel or two) — which keeps the gather-free association windows
-    # tiny.
-    model_vertices: jnp.ndarray  # (H, W, 3)
-    model_normals: jnp.ndarray  # (H, W, 3)
-    model_valid: jnp.ndarray  # (H, W)
+    # Raycast model maps rendered at model_pose, CHANNEL-MAJOR packed
+    # (8, H, W): depth, world vertex xyz, world normal xyz, valid
+    # (kinfu/maps.py — interleaved (H, W, 3) maps run near-empty VPU
+    # lanes and gather-class downsamples on this backend).
+    model_maps: jnp.ndarray  # (8, H, W) f32
     model_pose: jnp.ndarray  # (4, 4)
     frame_index: jnp.ndarray  # () int32
     last_rmse: jnp.ndarray  # () f32 ICP rmse of the last step
@@ -74,9 +72,7 @@ def kinfu_init(
         volume=vol,
         planes=planes,
         pose=pose,
-        model_vertices=jnp.zeros((h, w, 3), jnp.float32),
-        model_normals=jnp.zeros((h, w, 3), jnp.float32),
-        model_valid=jnp.zeros((h, w), bool),
+        model_maps=jnp.zeros((mp.MODEL_ROWS, h, w), jnp.float32),
         model_pose=jnp.array(pose, jnp.float32, copy=True),
         frame_index=jnp.asarray(0, jnp.int32),
         last_rmse=jnp.asarray(0.0, jnp.float32),
@@ -151,14 +147,10 @@ def kinfu_step(
     'depth frames/sec TSDF integrate+ICP at 512^3')."""
     pyr = build_pyramid(raw_depth, intr, levels=levels)
 
-    # Model pyramid from the stored full-res raycast maps.
-    m_v = [state.model_vertices]
-    m_n = [state.model_normals]
-    m_ok = [state.model_valid]
-    for _ in range(1, levels):
-        m_v.append(downsample_map(m_v[-1]))
-        m_n.append(downsample_map(m_n[-1]))
-        m_ok.append(downsample_map(m_ok[-1]))
+    # Model pyramid from the stored full-res raycast maps: exact point
+    # sampling via one-hot matmuls (kinfu/maps.py — strided slices are
+    # gather-class on this backend, ~1.8 ms for one map pyramid).
+    model_pyr = mp.build_map_pyramid(state.model_maps, levels)
 
     is_first = state.frame_index == 0
 
@@ -171,11 +163,8 @@ def kinfu_step(
     # windows comfortably cover per-frame motion without seeding.)
     init_pose = state.model_pose
     icp = icp_track(
-        pyr.vertices,
-        pyr.normals,
-        m_v,
-        m_n,
-        m_ok,
+        list(pyr.maps),
+        model_pyr,
         state.model_pose,
         intr,
         iterations=iterations,
@@ -201,21 +190,21 @@ def kinfu_step(
     if use_pallas:
         from housescan_tpu.ops.raycast_pallas import raycast_planes
 
-        model = raycast_planes(
+        model_maps = raycast_planes(
             planes, new_pose, intr, volume, z_min=z_min, interpret=interpret
         )
     else:
-        model = raycast(
+        rc = raycast(
             volume, new_pose, intr, z_min=z_min, max_steps=max_raycast_steps
         )
+        # CPU/XLA fallback: interleave -> packed off the hot path.
+        model_maps = mp.model_from_hwc(rc.vertices, rc.normals, rc.valid, rc.depth)
 
     return KinFuState(
         volume=volume,
         planes=planes,
         pose=new_pose,
-        model_vertices=model.vertices,
-        model_normals=model.normals,
-        model_valid=model.valid,
+        model_maps=model_maps,
         model_pose=new_pose,
         frame_index=state.frame_index + 1,
         last_rmse=jnp.where(is_first, 0.0, icp.rmse),

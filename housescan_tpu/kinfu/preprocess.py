@@ -96,7 +96,12 @@ def downsample_depth(depth: jnp.ndarray, sigma_depth: float = 0.03) -> jnp.ndarr
     smoothed = jnp.where(
         (center > 0) & (weight_sum > 0), value_sum / jnp.maximum(weight_sum, 1e-12), 0.0
     )
-    return smoothed[::2, ::2]
+    # Exact point sampling WITHOUT a strided slice (a gather-class op on
+    # this backend, ~9 ns/element): kinfu/maps.halve_maps selects via
+    # one-hot matmuls on TPU, bit-identical to [::2, ::2].
+    from housescan_tpu.kinfu.maps import halve_maps
+
+    return halve_maps(smoothed[None])[0]
 
 
 def depth_to_vertices(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
@@ -150,12 +155,63 @@ def vertex_normals(vertices: jnp.ndarray, max_depth_jump: float = 0.08) -> jnp.n
     return jnp.where(valid[..., None], n, 0.0)
 
 
+def _vertices_cm(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
+    """(h, w) depth -> (3, h, w) camera-frame vertex rows (channel-major:
+    three full-tile 2D ops instead of interleaved (h, w, 3) arithmetic —
+    see kinfu/maps.py for why the layout matters on this backend)."""
+    h, w = depth.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(depth.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(depth.dtype)
+    vx = (cols - intr.cx) / intr.fx * depth
+    vy = (rows - intr.cy) / intr.fy * depth
+    return jnp.stack([vx, vy, depth], axis=0)
+
+
+def _normals_cm(v: jnp.ndarray, max_depth_jump: float = 0.08) -> jnp.ndarray:
+    """(3, h, w) vertex rows -> (3, h, w) unit normal rows. Same math,
+    masks, and orientation as vertex_normals (elementwise per pixel, so
+    the two layouts produce bit-identical values)."""
+    vr = jnp.roll(v, -1, axis=2)
+    vl = jnp.roll(v, 1, axis=2)
+    vd = jnp.roll(v, -1, axis=1)
+    vu = jnp.roll(v, 1, axis=1)
+    du = vr - vl
+    dv = vd - vu
+    nx = dv[1] * du[2] - dv[2] * du[1]
+    ny = dv[2] * du[0] - dv[0] * du[2]
+    nz = dv[0] * du[1] - dv[1] * du[0]
+    n = jnp.stack([nx, ny, nz], axis=0)
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    z = v[2]
+    continuous = (
+        (jnp.abs(vr[2] - z) < max_depth_jump)
+        & (jnp.abs(vl[2] - z) < max_depth_jump)
+        & (jnp.abs(vd[2] - z) < max_depth_jump)
+        & (jnp.abs(vu[2] - z) < max_depth_jump)
+    )
+    valid = (
+        (z > 0)
+        & (vr[2] > 0)
+        & (vl[2] > 0)
+        & (vd[2] > 0)
+        & (vu[2] > 0)
+        & continuous
+        & (norm > 1e-12)
+    )
+    n = n / jnp.maximum(norm, 1e-12)[None]
+    flip = jnp.sum(n * v, axis=0, keepdims=True) > 0
+    n = jnp.where(flip, -n, n)
+    return jnp.where(valid[None], n, 0.0)
+
+
 class FramePyramid(NamedTuple):
-    """Per-level depth/vertex/normal maps, coarse last (level 0 = full res)."""
+    """Per-level depth + packed live maps, level 0 = full res.
+
+    ``maps[lvl]`` is (6, h, w) channel-major: rows 0-2 camera-frame
+    vertices, rows 3-5 normals (kinfu/maps.py LIVE layout)."""
 
     depths: Tuple[jnp.ndarray, ...]
-    vertices: Tuple[jnp.ndarray, ...]
-    normals: Tuple[jnp.ndarray, ...]
+    maps: Tuple[jnp.ndarray, ...]
 
 
 def build_pyramid(
@@ -166,7 +222,7 @@ def build_pyramid(
     sigma_space: float = 4.5,
     sigma_depth: float = 0.03,
 ) -> FramePyramid:
-    """Full preprocess: bilateral filter then per-level vertex+normal maps."""
+    """Full preprocess: bilateral filter then per-level packed live maps."""
     if jax.default_backend() == "cpu":
         d0 = bilateral_filter(raw_depth, bilateral_radius, sigma_space, sigma_depth)
     else:
@@ -180,10 +236,8 @@ def build_pyramid(
     depths: List[jnp.ndarray] = [d0]
     for _ in range(1, levels):
         depths.append(downsample_depth(depths[-1], sigma_depth))
-    verts = []
-    norms = []
+    maps = []
     for lvl, d in enumerate(depths):
-        v = depth_to_vertices(d, intr.level(lvl))
-        verts.append(v)
-        norms.append(vertex_normals(v))
-    return FramePyramid(tuple(depths), tuple(verts), tuple(norms))
+        v = _vertices_cm(d, intr.level(lvl))
+        maps.append(jnp.concatenate([v, _normals_cm(v)], axis=0))
+    return FramePyramid(tuple(depths), tuple(maps))

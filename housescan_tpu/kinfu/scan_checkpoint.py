@@ -32,7 +32,9 @@ from housescan_tpu.kinfu.tsdf import TsdfVolume
 # v1: KinFuState with a velocity field, no trajectory.
 # v2: velocity dropped; accumulated per-frame poses stored so a resumed
 #     scan writes the same trajectory.npz as an uninterrupted one.
-SCAN_SCHEMA_VERSION = 2
+# v3: model maps stored channel-major packed (8, H, W) (kinfu/maps.py)
+#     instead of three interleaved arrays; v2 checkpoints migrate.
+SCAN_SCHEMA_VERSION = 3
 
 
 def _state_fingerprint(state: KinFuState) -> str:
@@ -85,9 +87,7 @@ def save_scan_state(
         "volume_trunc": np.asarray(state.volume.trunc),
         "planes": np.asarray(state.planes),
         "pose": np.asarray(state.pose),
-        "model_vertices": np.asarray(state.model_vertices),
-        "model_normals": np.asarray(state.model_normals),
-        "model_valid": np.asarray(state.model_valid),
+        "model_maps": np.asarray(state.model_maps),
         "model_pose": np.asarray(state.model_pose),
         "state_frame_index": np.asarray(state.frame_index),
         "last_rmse": np.asarray(state.last_rmse),
@@ -117,7 +117,7 @@ def load_scan_state(
     """
     with np.load(Path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        if manifest["schema_version"] not in (1, SCAN_SCHEMA_VERSION):
+        if manifest["schema_version"] not in (1, 2, SCAN_SCHEMA_VERSION):
             raise ValueError(
                 f"scan checkpoint schema v{manifest['schema_version']} != "
                 f"supported v{SCAN_SCHEMA_VERSION}"
@@ -137,29 +137,45 @@ def load_scan_state(
             voxel_size=jnp.asarray(z["volume_voxel_size"]),
             trunc=jnp.asarray(z["volume_trunc"]),
         )
+        version = manifest["schema_version"]
+        if version == SCAN_SCHEMA_VERSION:
+            model_maps = jnp.asarray(z["model_maps"])
+        else:
+            # v1/v2 migration: pack the three interleaved model arrays
+            # (the depth row is not stored in old checkpoints; it is
+            # only consumed by exports, never by the tracker, so zeros
+            # are safe).
+            from housescan_tpu.kinfu import maps as mp
+
+            model_maps = mp.model_from_hwc(
+                jnp.asarray(z["model_vertices"]),
+                jnp.asarray(z["model_normals"]),
+                jnp.asarray(z["model_valid"]),
+                jnp.zeros(z["model_valid"].shape, jnp.float32),
+            )
         state = KinFuState(
             volume=vol,
             planes=jnp.asarray(z["planes"]),
             pose=jnp.asarray(z["pose"]),
-            model_vertices=jnp.asarray(z["model_vertices"]),
-            model_normals=jnp.asarray(z["model_normals"]),
-            model_valid=jnp.asarray(z["model_valid"]),
+            model_maps=model_maps,
             model_pose=jnp.asarray(z["model_pose"]),
             frame_index=jnp.asarray(z["state_frame_index"]),
             last_rmse=jnp.asarray(z["last_rmse"]),
             last_corr=jnp.asarray(z["last_corr"]),
         )
-        if manifest["schema_version"] == SCAN_SCHEMA_VERSION:
+        if version == SCAN_SCHEMA_VERSION:
             if _state_fingerprint(state) != manifest["fingerprint"]:
                 raise ValueError(
                     "scan checkpoint layout does not match the current "
                     "KinFuState schema (refusing unsafe resume)"
                 )
             trajectory = np.asarray(z["trajectory"], np.float32)
+        elif version == 2:
+            trajectory = np.asarray(z["trajectory"], np.float32)
         else:
-            # v1 migration: same arrays plus a velocity field we drop;
-            # the stored fingerprint names the old layout, so validate
-            # structurally by array presence instead. No trajectory.
+            # v1: same arrays plus a velocity field we drop; the stored
+            # fingerprint names the old layout, so validate structurally
+            # by array presence instead. No trajectory.
             if "velocity" not in z.files:
                 raise ValueError("v1 scan checkpoint missing velocity field")
             trajectory = np.zeros((0, 4, 4), np.float32)

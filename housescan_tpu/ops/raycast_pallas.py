@@ -15,7 +15,6 @@ faces); curved geometry is piecewise-planar at sub-block scale (~5cm at
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +28,10 @@ from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z, extract_subblock_pl
 MAX_CAND = 256
 BIG = 1.0e9
 
-
-class PlaneRaycastResult(NamedTuple):
-    vertices: jnp.ndarray  # (H, W, 3) world
-    normals: jnp.ndarray  # (H, W, 3) unit, toward free space
-    valid: jnp.ndarray  # (H, W)
-    depth: jnp.ndarray  # (H, W) projective depth (0 invalid)
+# Raw-map row indices (raycast_tiles_maps output): like the model-map
+# layout (kinfu/maps.py) but with the hit sub-block id in row 7 where
+# the finalized maps carry the valid flag.
+RAW_BID = 7
 
 
 @partial(jax.jit, static_argnames=("intr", "interpret"))
@@ -45,57 +42,59 @@ def raycast_planes(
     vol: TsdfVolume,
     z_min: float = 0.3,
     interpret: bool = False,
-) -> PlaneRaycastResult:
-    """Tile-candidate raycast (ops/raycast_tiles.py) + seam masking."""
+) -> jnp.ndarray:
+    """Tile-candidate raycast (ops/raycast_tiles.py) + seam masking.
+
+    Returns CHANNEL-MAJOR model maps (8, H, W): depth, world vertex xyz,
+    world normal xyz, valid (kinfu/maps.py layout)."""
     from housescan_tpu.ops.raycast_tiles import raycast_tiles_maps
 
-    depth, vx, vy, vz, nx, ny, nz, bid = raycast_tiles_maps(
+    raw = raycast_tiles_maps(
         planes, pose, intr, vol, z_min=z_min, interpret=interpret
     )
-    vertices = jnp.stack([vx, vy, vz], axis=-1)
-    normals = jnp.stack([nx, ny, nz], axis=-1)
-    return finalize_plane_maps(depth, vertices, normals, bid)
+    return finalize_plane_maps(raw)
 
 
-def finalize_plane_maps(
-    depth: jnp.ndarray,
-    vertices: jnp.ndarray,
-    normals: jnp.ndarray,
-    bid: jnp.ndarray,
-) -> PlaneRaycastResult:
-    """Seam masking over raw plane-hit maps. Split out so the mesh-
-    sharded raycast can pmin-combine per-slab raw maps FIRST and mask
-    once on the combined result (sub-block ids are globally unique
-    across shards)."""
+def finalize_plane_maps(raw: jnp.ndarray) -> jnp.ndarray:
+    """Seam masking over raw (8, H, W) plane-hit maps -> model maps.
+
+    Split out so the mesh-sharded raycast can pmin-combine per-slab raw
+    maps FIRST and mask once on the combined result (sub-block ids are
+    globally unique across shards).
+
+    Exact block-plane normals + DISAGREEING-SEAM MASKING. Each pixel's
+    normal is the plane it actually hit — an exact-plane sample,
+    unbiased for point-to-plane ICP. But at sub-block seams the
+    piecewise-planar model is a staircase: neighboring blocks' tilt
+    and offset errors correlate by construction (both ~ the local fit
+    residual, one-signed), and smoothing normals across seams (vertex-
+    map normals were tried) manufactures mid-tilt pixels whose
+    tilt x offset product sums coherently — ICP then walks
+    ~1mm/iteration along the scene's weakest pose mode. Instead: drop
+    any pixel whose 4-neighborhood hit a DIFFERENT block whose plane
+    DISAGREES (normal tilt > ~3 deg or a depth step — corners,
+    silhouettes, bad fits). Coplanar mid-wall seams agree to sub-mm
+    and are kept, so coverage stays near the XLA raycast's.
+    """
+    from housescan_tpu.kinfu import maps as mp
+
+    depth = raw[mp.MD_DEPTH]
+    normals = raw[mp.MD_N]
+    bid = raw[RAW_BID]
     valid = depth > 0
 
-    # Exact block-plane normals + DISAGREEING-SEAM MASKING. Each pixel's
-    # normal is the plane it actually hit — an exact-plane sample,
-    # unbiased for point-to-plane ICP. But at sub-block seams the
-    # piecewise-planar model is a staircase: neighboring blocks' tilt
-    # and offset errors correlate by construction (both ~ the local fit
-    # residual, one-signed), and smoothing normals across seams (vertex-
-    # map normals were tried) manufactures mid-tilt pixels whose
-    # tilt x offset product sums coherently — ICP then walks
-    # ~1mm/iteration along the scene's weakest pose mode. Instead: drop
-    # any pixel whose 4-neighborhood hit a DIFFERENT block whose plane
-    # DISAGREES (normal tilt > ~3 deg or a depth step — corners,
-    # silhouettes, bad fits). Coplanar mid-wall seams agree to sub-mm
-    # and are kept, so coverage stays near the XLA raycast's.
     same = valid
-    for axis, shift in ((0, 1), (0, -1), (1, 1), (1, -1)):
-        nb_bid = jnp.roll(bid, shift, axis=axis)
-        nb_n = jnp.roll(normals, shift, axis=axis)
-        nb_z = jnp.roll(depth, shift, axis=axis)
-        agree = (jnp.sum(normals * nb_n, axis=-1) > 0.9986) & (
-            jnp.abs(depth - nb_z) < 0.08
+    for axis, shift in ((1, 1), (1, -1), (2, 1), (2, -1)):
+        nb = jnp.roll(raw, shift, axis=axis)  # all rows in ONE roll
+        agree = (jnp.sum(normals * nb[mp.MD_N], axis=0) > 0.9986) & (
+            jnp.abs(depth - nb[mp.MD_DEPTH]) < 0.08
         )
-        same = same & ((nb_bid == bid) | agree)
-    valid = valid & same
-    vertices = jnp.where(valid[..., None], vertices, 0.0)
-    normals = jnp.where(valid[..., None], normals, 0.0)
-    depth = jnp.where(valid, depth, 0.0)
-    return PlaneRaycastResult(vertices, normals, valid, depth)
+        same = same & ((nb[RAW_BID] == bid) | agree)
+    valid = same
+    masked = jnp.where(valid[None], raw, 0.0)
+    return jnp.concatenate(
+        [masked[: mp.MD_VALID], valid[None].astype(jnp.float32)], axis=0
+    )
 
 
 def raycast_pallas(
@@ -104,7 +103,8 @@ def raycast_pallas(
     intr: Intrinsics,
     z_min: float = 0.3,
     interpret: bool = False,
-) -> PlaneRaycastResult:
-    """Full pipeline: extract sub-block planes, then plane-raycast."""
+) -> jnp.ndarray:
+    """Full pipeline: extract sub-block planes, then plane-raycast.
+    Returns (8, H, W) channel-major model maps (kinfu/maps.py)."""
     planes = extract_subblock_planes(vol, interpret=interpret)
     return raycast_planes(planes, pose, intr, vol, z_min=z_min, interpret=interpret)

@@ -22,8 +22,8 @@ This version restructures both phases:
     candidate only ever touches the 128-pixel tile it overlaps.
 
 Output and seam-masking semantics are identical to the band kernel
-(same PlaneRaycastResult contract; the disagreeing-seam mask lives in
-raycast_pallas.finalize_model and is shared).
+(channel-major raw maps, kinfu/maps.py; the disagreeing-seam mask lives
+in raycast_pallas.finalize_plane_maps and is shared).
 
 Reference: replaces the per-ray TSDF marching of the external PCL
 KinFu's CUDA raycast (ref README.md:14).
@@ -233,7 +233,12 @@ def build_tile_candidates(
     return cand
 
 
-def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
+def _kernel(params, cand, out):
+    """One (8, 8, 128) output block per tile: rows = [depth, vx, vy, vz,
+    nx, ny, nz, bid] (the channel-major raw-map layout, kinfu/maps.py).
+    One packed buffer instead of eight: Pallas pipeline bookkeeping is
+    ~0.36us per buffer per active step (PERFORMANCE.md), so 8 -> 1
+    output buffers saves ~0.75 ms/frame across the ~300-tile grid."""
     g = pl.program_id(0)
 
     r00, r01, r02 = params[0], params[1], params[2]
@@ -300,14 +305,14 @@ def _kernel(params, cand, d_out, vx, vy, vz, nxo, nyo, nzo, bido):
     bnz = jnp.max(jnp.where(sel, nz, -BIG), axis=0, keepdims=True)
 
     tq1 = jnp.where(got, best_t, 0.0)[0]
-    d_out[...] = tq1
-    vx[...] = jnp.where(got[0], tx + tq1 * dwx[0], 0.0)
-    vy[...] = jnp.where(got[0], ty + tq1 * dwy[0], 0.0)
-    vz[...] = jnp.where(got[0], tz + tq1 * dwz[0], 0.0)
-    nxo[...] = jnp.where(got[0], bnx[0], 0.0)
-    nyo[...] = jnp.where(got[0], bny[0], 0.0)
-    nzo[...] = jnp.where(got[0], bnz[0], 0.0)
-    bido[...] = jnp.where(got[0], bbid[0], -1.0)
+    out[0] = tq1
+    out[1] = jnp.where(got[0], tx + tq1 * dwx[0], 0.0)
+    out[2] = jnp.where(got[0], ty + tq1 * dwy[0], 0.0)
+    out[3] = jnp.where(got[0], tz + tq1 * dwz[0], 0.0)
+    out[4] = jnp.where(got[0], bnx[0], 0.0)
+    out[5] = jnp.where(got[0], bny[0], 0.0)
+    out[6] = jnp.where(got[0], bnz[0], 0.0)
+    out[7] = jnp.where(got[0], bbid[0], -1.0)
 
 
 def raycast_tiles_maps(
@@ -319,8 +324,10 @@ def raycast_tiles_maps(
     interpret: bool = False,
     block_x0=0,
 ):
-    """Raw model maps (depth, vertices, normals, block ids) before seam
-    masking. Width is processed in 128-pixel tiles (padded, cropped)."""
+    """Raw model maps before seam masking, ONE channel-major (8, H, W)
+    array: rows [depth, vx, vy, vz, nx, ny, nz, bid] (kinfu/maps.py raw
+    layout; bid feeds raycast_pallas.finalize_plane_maps' seam mask).
+    Width is processed in 128-pixel tiles (padded, cropped)."""
     n_bands = intr.height // 8
     n_ut = -(-intr.width // 128)
     w_pad = n_ut * 128
@@ -342,23 +349,19 @@ def raycast_tiles_maps(
         ]
     ).astype(jnp.float32)
 
-    shape2d = jax.ShapeDtypeStruct((intr.height, w_pad), jnp.float32)
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid=(n_bands * n_ut,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, cand.shape[1], N_PREP), lambda g: (g, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (8, 128),
-                lambda g, n_ut=n_ut: (g // n_ut, g % n_ut),
-            )
-        ]
-        * 8,
-        out_shape=[shape2d] * 8,
+        out_specs=pl.BlockSpec(
+            (8, 8, 128),
+            lambda g, n_ut=n_ut: (0, g // n_ut, g % n_ut),
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, intr.height, w_pad), jnp.float32),
         interpret=interpret,
     )(params, cand)
 
-    return tuple(o[:, : intr.width] for o in outs)
+    return out[:, :, : intr.width]

@@ -29,11 +29,11 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.icp import (
     _solve_increment,
     _twist_to_proj,
-    downsample_map,
     icp_track,
 )
 from housescan_tpu.kinfu.preprocess import build_pyramid, vertex_normals
@@ -50,9 +50,8 @@ class ShardedKinFuState(NamedTuple):
     # XLA path.
     planes: jnp.ndarray
     pose: jnp.ndarray
-    model_vertices: jnp.ndarray
-    model_normals: jnp.ndarray
-    model_valid: jnp.ndarray
+    # Channel-major packed model maps (kinfu/maps.py), replicated.
+    model_maps: jnp.ndarray  # (8, H, W) f32
     frame_index: jnp.ndarray
 
 
@@ -106,9 +105,7 @@ def sharded_kinfu_init(
         volume=vol,
         planes=planes,
         pose=jax.device_put(pose, rep),
-        model_vertices=jnp.zeros((h, w, 3), jnp.float32),
-        model_normals=jnp.zeros((h, w, 3), jnp.float32),
-        model_valid=jnp.zeros((h, w), bool),
+        model_maps=jnp.zeros((mp.MODEL_ROWS, h, w), jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
     )
 
@@ -215,11 +212,12 @@ def make_sharded_step(
         shard_map,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
     def raycast_shards_pallas(data, planes, origin, voxel_size, trunc, pose):
         from housescan_tpu.kinfu.tsdf import TsdfVolume as TV
+        from housescan_tpu.ops.raycast_pallas import RAW_BID
         from housescan_tpu.ops.raycast_tiles import raycast_tiles_maps
 
         idx = jax.lax.axis_index(axis)
@@ -228,10 +226,10 @@ def make_sharded_step(
         # integrate_shards_pallas).
         vol = TV(data=data, origin=origin, voxel_size=voxel_size, trunc=trunc)
         bx0 = idx * (nx_local // 8)
-        depth_m, vx, vy, vz, nx_, ny_, nz_, bid = raycast_tiles_maps(
+        raw = raycast_tiles_maps(
             planes, pose, intr, vol, z_min=0.3, interpret=interpret,
             block_x0=bx0,
-        )
+        )  # (8, H, W) channel-major: depth, vertex, normal, bid
         # Nearest slab hit wins; sub-block ids are globally unique.
         # Combine with component-wise pmax over -BIG-masked losers: the
         # tile kernel itself resolves equal-depth ties by a per-
@@ -240,21 +238,20 @@ def make_sharded_step(
         # live in different slabs (vertices derive from the shared
         # best_t, so they are identical across tied slabs anyway).
         big = jnp.float32(1.0e9)
+        depth_m = raw[mp.MD_DEPTH]
         my = jnp.where(depth_m > 0, depth_m, jnp.inf)
         best = jax.lax.pmin(my, axis)
         win = (depth_m > 0) & (my <= best)
         any_win = jax.lax.pmax(win.astype(jnp.float32), axis) > 0
-
-        def comb(m):
-            return jax.lax.pmax(jnp.where(win, m, -big), axis)
-
-        verts = jnp.stack([comb(vx), comb(vy), comb(vz)], axis=-1)
-        normals = jnp.stack([comb(nx_), comb(ny_), comb(nz_)], axis=-1)
-        verts = jnp.where(any_win[..., None], verts, 0.0)
-        normals = jnp.where(any_win[..., None], normals, 0.0)
-        bid_out = jax.lax.pmax(jnp.where(win, bid, -1.0), axis)
+        # One masked pmax combines vertex+normal rows AND the bid row
+        # (bid's loser sentinel is -1; -big masks lower still).
+        rows = jax.lax.pmax(jnp.where(win[None], raw[1:], -big), axis)
+        rows = jnp.where(any_win[None], rows, 0.0)
+        bid_out = jnp.where(any_win, rows[RAW_BID - 1], -1.0)
         depth_out = jnp.where(any_win, jnp.where(jnp.isinf(best), 0.0, best), 0.0)
-        return depth_out, verts, normals, bid_out
+        return jnp.concatenate(
+            [depth_out[None], rows[: RAW_BID - 1], bid_out[None]], axis=0
+        )
 
     # --- integrate: shard-local ---------------------------------------
     @partial(
@@ -337,14 +334,7 @@ def make_sharded_step(
     @jax.jit
     def step(state: ShardedKinFuState, raw_depth: jnp.ndarray) -> ShardedKinFuState:
         pyr = build_pyramid(raw_depth, intr, levels=levels)
-
-        m_v = [state.model_vertices]
-        m_n = [state.model_normals]
-        m_ok = [state.model_valid]
-        for _ in range(1, levels):
-            m_v.append(downsample_map(m_v[-1]))
-            m_n.append(downsample_map(m_n[-1]))
-            m_ok.append(downsample_map(m_ok[-1]))
+        model_pyr = mp.build_map_pyramid(state.model_maps, levels)
 
         is_first = state.frame_index == 0
 
@@ -357,11 +347,8 @@ def make_sharded_step(
             # remains the XLA path's demonstrator for scale-out of the
             # 6x6 reduction.)
             pose = icp_track(
-                pyr.vertices,
-                pyr.normals,
-                m_v,
-                m_n,
-                m_ok,
+                list(pyr.maps),
+                model_pyr,
                 state.pose,
                 intr,
                 iterations=iterations,
@@ -372,27 +359,21 @@ def make_sharded_step(
         else:
             # Coarse levels replicated (small images).
             coarse = icp_track(
-                pyr.vertices,
-                pyr.normals,
-                m_v,
-                m_n,
-                m_ok,
+                list(pyr.maps),
+                model_pyr,
                 state.pose,
                 intr,
                 iterations=(0,) + tuple(iterations[1:]),
             )
             pose = coarse.pose
 
-            # Fine level: sharded psum'd Gauss-Newton iterations.
+            # Fine level: sharded psum'd Gauss-Newton iterations
+            # (interleaved maps, unpacked off the hot path).
+            lv0, ln0 = mp.live_to_hwc(pyr.maps[0])
+            mv0, mn0, mok0, _ = mp.model_to_hwc(model_pyr[0])
             for _ in range(iterations[0]):
                 a, b = fine_normal_equations(
-                    pyr.vertices[0],
-                    pyr.normals[0],
-                    m_v[0],
-                    m_n[0],
-                    m_ok[0],
-                    pose,
-                    state.pose,
+                    lv0, ln0, mv0, mn0, mok0, pose, state.pose,
                 )
                 x, ok = _solve_increment(a, b)
                 pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
@@ -406,14 +387,13 @@ def make_sharded_step(
                 vol.trunc, raw_depth, new_pose,
             )
             volume = vol._replace(data=data)
-            _depth, verts, normals, _bid = raycast_shards_pallas(
+            raw = raycast_shards_pallas(
                 volume.data, planes, volume.origin, volume.voxel_size,
                 volume.trunc, new_pose,
             )
             from housescan_tpu.ops.raycast_pallas import finalize_plane_maps
 
-            model = finalize_plane_maps(_depth, verts, normals, _bid)
-            verts, normals, valid = model.vertices, model.normals, model.valid
+            model_maps = finalize_plane_maps(raw)
         else:
             planes = state.planes
             tsdf, weight = integrate_shards(
@@ -432,14 +412,18 @@ def make_sharded_step(
             n_cam = vertex_normals(v_cam)
             normals = n_cam @ rot
             valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
+            model_maps = mp.model_from_hwc(
+                jnp.where(valid[..., None], verts, 0.0),
+                jnp.where(valid[..., None], normals, 0.0),
+                valid,
+                _depth,
+            )
 
         return ShardedKinFuState(
             volume=volume,
             planes=planes,
             pose=new_pose,
-            model_vertices=jnp.where(valid[..., None], verts, 0.0),
-            model_normals=jnp.where(valid[..., None], normals, 0.0),
-            model_valid=valid,
+            model_maps=model_maps,
             frame_index=state.frame_index + 1,
         )
 

@@ -51,13 +51,14 @@ def main():
     depth = jnp.asarray(frames[1])
 
     state = kinfu_init(intr, resolution=RES, size_m=3.0, trunc=0.03,
-                       init_pose=jnp.asarray(poses[0]))
+                       init_pose=jnp.asarray(poses[0]),
+                       dtype=jnp.int32)  # int16-packed, like bench.py
     state = kinfu_step(state, jnp.asarray(frames[0]), intr, use_pallas=True)
     readout(state.pose)
     print(f"# backend={jax.default_backend()} res={RES}", flush=True)
 
     from housescan_tpu.kinfu.preprocess import build_pyramid
-    from housescan_tpu.kinfu.icp import downsample_map, icp_track
+    from housescan_tpu.kinfu.icp import icp_track
     from housescan_tpu.ops.chunk_select import build_worklist
     from housescan_tpu.ops.tsdf_stream import tsdf_integrate_stream
     from housescan_tpu.ops.raycast_pallas import raycast_planes
@@ -88,43 +89,35 @@ def main():
     # --- stage: pyramid ---
     jit_pyr = jax.jit(lambda d: build_pyramid(d, intr, levels=3))
     pyr, _ = timeit("build_pyramid", jit_pyr, depth,
-                    force=lambda o: readout(o.vertices[0]))
+                    force=lambda o: readout(o.maps[0]))
 
-    # --- stage: ICP ---
-    def icp_fn(pv, pn, mv, mn, mok, mpose):
-        m_v, m_n, m_ok = [mv], [mn], [mok]
-        for _ in range(1, 3):
-            m_v.append(downsample_map(m_v[-1]))
-            m_n.append(downsample_map(m_n[-1]))
-            m_ok.append(downsample_map(m_ok[-1]))
-        return icp_track(pv, pn, m_v, m_n, m_ok, mpose, intr,
+    # --- stage: ICP (channel-major packed maps, kinfu/maps.py) ---
+    from housescan_tpu.kinfu import maps as mp
+
+    def icp_fn(live, model, mpose):
+        return icp_track(list(live), mp.build_map_pyramid(model, 3),
+                         mpose, intr,
                          iterations=(10, 5, 4), dist_threshold=0.10,
-                         angle_threshold=0.5236, init_pose=mpose)
+                         angle_threshold=0.5236, init_pose=mpose,
+                         use_pallas=True)
 
     for its, nm in (((10,0,0),"L0 only (10 it, id-assoc)"),
                     ((0,5,0),"L1 only (5 it, win2)"),
                     ((0,0,4),"L2 only (4 it, win4)"),
                     ((1,1,1),"1 iter per level")):
-        def icp_var(pv, pn, mv, mn, mok, mpose, _its=its):
-            m_v, m_n, m_ok = [mv], [mn], [mok]
-            for _ in range(1, 3):
-                m_v.append(downsample_map(m_v[-1]))
-                m_n.append(downsample_map(m_n[-1]))
-                m_ok.append(downsample_map(m_ok[-1]))
-            return icp_track(pv, pn, m_v, m_n, m_ok, mpose, intr,
+        def icp_var(live, model, mpose, _its=its):
+            return icp_track(list(live), mp.build_map_pyramid(model, 3),
+                             mpose, intr,
                              iterations=_its, dist_threshold=0.10,
-                             angle_threshold=0.5236, init_pose=mpose)
+                             angle_threshold=0.5236, init_pose=mpose,
+                             use_pallas=True)
         timeit("icp " + nm, jax.jit(icp_var),
-               pyr.vertices, pyr.normals,
-               state.model_vertices, state.model_normals,
-               state.model_valid, state.model_pose,
+               pyr.maps, state.model_maps, state.model_pose,
                force=lambda o: readout(o.pose))
 
     jicp = jax.jit(icp_fn)
     icp, _ = timeit("icp_track(10,5,4)+model pyramid", jicp,
-                    pyr.vertices, pyr.normals,
-                    state.model_vertices, state.model_normals,
-                    state.model_valid, state.model_pose,
+                    pyr.maps, state.model_maps, state.model_pose,
                     force=lambda o: readout(o.pose))
 
     # --- stage: streaming integrate (donated, like the real loop) ---
@@ -171,11 +164,12 @@ def main():
                      force=lambda o: readout(o))
     jray = jax.jit(lambda pl_, p: raycast_planes(pl_, p, intr, volp, z_min=0.3))
     timeit("raycast_planes (full)", jray, planes, pose,
-           force=lambda o: readout(o.vertices))
+           force=lambda o: readout(o))
 
     # --- full step ---
     st = kinfu_init(intr, resolution=RES, size_m=3.0, trunc=0.03,
-                    init_pose=jnp.asarray(poses[0]))
+                    init_pose=jnp.asarray(poses[0]),
+                    dtype=jnp.int32)
     st = kinfu_step(st, jnp.asarray(frames[0]), intr, use_pallas=True)
     st = kinfu_step(st, depth, intr, use_pallas=True)
     readout(st.pose)

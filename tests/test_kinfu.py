@@ -121,7 +121,9 @@ class TestPreprocess:
         assert pyr.depths[0].shape == (120, 160)
         assert pyr.depths[1].shape == (60, 80)
         assert pyr.depths[2].shape == (30, 40)
-        assert pyr.vertices[2].shape == (30, 40, 3)
+        # packed live maps (kinfu/maps.py): vertex+normal rows
+        assert pyr.maps[2].shape == (6, 30, 40)
+        assert pyr.maps[0].shape == (6, 120, 160)
 
     def test_downsample_point_convention(self):
         # A linear ramp: level pixel (i,j) must equal fine pixel (2i,2j)

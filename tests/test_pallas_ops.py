@@ -164,11 +164,13 @@ class TestPlaneRaycast:
         vol = tsdf_new(128, 3.0, 0.06)
         for k in range(4):
             vol = tsdf_integrate(vol, jnp.asarray(frames[k]), jnp.asarray(poses[k]), INTR)
+        from housescan_tpu.kinfu import maps as mp
+
         rc = raycast_pallas(vol, jnp.asarray(poses[0]), INTR, interpret=True)
-        valid = np.asarray(rc.valid)
+        valid = np.asarray(rc[mp.MD_VALID] > 0.5)
         assert valid.mean() > 0.9
         m = valid & (frames[0] > 0)
-        err = np.abs(np.asarray(rc.depth)[m] - frames[0][m])
+        err = np.abs(np.asarray(rc[mp.MD_DEPTH])[m] - frames[0][m])
         # median sub-mm on planar surfaces even at coarse 128^3
         assert np.median(err) < 0.002
         # outlier tail (occlusion-edge plane extensions) stays bounded

@@ -74,7 +74,9 @@ class TestShardedFusion:
         err = float(jnp.linalg.norm(state.pose[3, :3] - jnp.asarray(poses[2])[3, :3]))
         # 64^3 voxels are 47mm; tracking within ~1.5 voxels is healthy here
         assert err < 0.07, f"sharded tracking err {err*1000:.1f}mm"
-        assert float(jnp.mean(state.model_valid.astype(jnp.float32))) > 0.5
+        from housescan_tpu.kinfu import maps as mp
+
+        assert float(jnp.mean(state.model_maps[mp.MD_VALID])) > 0.5
 
     def test_pallas_sharded_orbit_parity_128(self, mesh):
         """The PRODUCTION kernels inside shard_map (streaming work-list
@@ -140,9 +142,7 @@ class TestShardedFusion:
                 ),
                 planes=jax.device_put(np.asarray(ref.planes), pl_sh),
                 pose=jax.device_put(np.asarray(ref.pose), rep),
-                model_vertices=jnp.asarray(np.asarray(ref.model_vertices)),
-                model_normals=jnp.asarray(np.asarray(ref.model_normals)),
-                model_valid=jnp.asarray(np.asarray(ref.model_valid)),
+                model_maps=jnp.asarray(np.asarray(ref.model_maps)),
                 frame_index=jnp.asarray(np.asarray(ref.frame_index)),
             )
 
@@ -159,21 +159,22 @@ class TestShardedFusion:
             assert bool(jnp.all(sh_out.planes == ref.planes)), (
                 f"frame {k}: planes not bit-exact"
             )
+            from housescan_tpu.kinfu import maps as mp
+
+            sh_m = np.asarray(sh_out.model_maps)
+            ref_m = np.asarray(ref.model_maps)
             assert np.array_equal(
-                np.asarray(sh_out.model_vertices),
-                np.asarray(ref.model_vertices),
+                sh_m[mp.MD_V], ref_m[mp.MD_V]
             ), f"frame {k}: model vertices not bit-exact"
             assert np.array_equal(
-                np.asarray(sh_out.model_valid), np.asarray(ref.model_valid)
+                sh_m[mp.MD_VALID], ref_m[mp.MD_VALID]
             ), f"frame {k}: valid mask not bit-exact"
-            dn = np.abs(
-                np.asarray(sh_out.model_normals) - np.asarray(ref.model_normals)
-            )
+            dn = np.abs(sh_m[mp.MD_N] - ref_m[mp.MD_N])
             # ulp-level rounding may touch many pixels; actual plane
             # flips (two near-coplanar candidates swapping) must stay
             # rare and small.
-            n_flip = int((dn.max(axis=-1) > 1e-4).sum())
-            assert dn.max() < 5e-3 and n_flip < dn.shape[0] * dn.shape[1] // 100, (
+            n_flip = int((dn.max(axis=0) > 1e-4).sum())
+            assert dn.max() < 5e-3 and n_flip < dn.shape[1] * dn.shape[2] // 100, (
                 f"frame {k}: normals diverged (max {dn.max():.2e}, {n_flip} px)"
             )
 
