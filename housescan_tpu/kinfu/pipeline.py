@@ -135,7 +135,7 @@ def kinfu_step(
     intr: Intrinsics,
     levels: int = 3,
     iterations: Tuple[int, ...] = (10, 5, 4),
-    dist_threshold: float = 0.10,
+    dist_threshold=None,
     angle_threshold: float = 0.5236,
     max_weight: float = 128.0,
     z_min: float = 0.3,
@@ -161,6 +161,18 @@ def kinfu_step(
     # one — the closed loop then snaps after ~15 frames even though every
     # individual clean-map ICP solve is sub-millimeter. The association
     # windows comfortably cover per-frame motion without seeding.)
+    if dist_threshold is None:
+        # Per-level correspondence gates (icp_track docstring). The
+        # outlier tail the fine gate must exclude is GEOMETRY-scale
+        # (wrong-surface associations at silhouettes, >= 10 mm
+        # regardless of resolution) while true residuals after the
+        # coarse levels are a few mm, so the fine gate is ~15 mm nearly
+        # independent of voxel size; the 1.5-voxel term only relaxes it
+        # at coarse test resolutions where per-frame pose error itself
+        # is voxel-scaled. Coarse levels stay loose for motion.
+        fine = jnp.maximum(1.5 * state.volume.voxel_size, 0.015)
+        dist_threshold = (fine, 0.05, 0.10)
+
     init_pose = state.model_pose
     icp = icp_track(
         list(pyr.maps),

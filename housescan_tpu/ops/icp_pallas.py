@@ -273,7 +273,10 @@ def pack_level_maps(
 @partial(
     jax.jit,
     static_argnames=(
-        "intr", "n_iters", "window", "dist_threshold", "angle_threshold",
+        # dist_threshold is NOT static: it only flows into the params
+        # vector, and production passes a voxel-size-derived traced
+        # value (kinfu/pipeline.py per-level gates).
+        "intr", "n_iters", "window", "angle_threshold",
         "damping", "max_step", "interpret",
     ),
 )

@@ -59,11 +59,17 @@ N_FIELDS = 16
 # Validity gates (voxel^2 eigenvalue units of the crossing covariance).
 RIDGE = 1e-4
 # Max out-of-plane variance. Planar blocks sit at ~1e-8..1e-2; true
-# corner blocks at >3. The loose 1.5 keeps coverage over curved /
-# oblique regions (their blended normals are filtered downstream by
-# ICP's normal-agreement gate) while still dropping hard two-plane
-# corners whose intersections would be pure noise.
-LAMBDA_MIN_MAX = 1.5
+# corner blocks at >3. This used to be a loose 1.5 so curved/oblique
+# regions kept SOME coverage — a gate-failed block was simply absent
+# and rays sailed through it onto the geometry behind (worse than a
+# blended normal). Since the raycast gained OCCLUDER handling
+# (ops/raycast_tiles.py: crossing evidence without a valid plane ends
+# the ray as INVALID), a failed block no longer paints wrong depth, so
+# the gate can demand real planarity: compromise planes from mixed
+# two-surface blocks (out-of-plane RMS ~ a voxel) were the single
+# largest model-bias source left (measured +0.5 m on a furniture-corner
+# block that passed at 1.5).
+LAMBDA_MIN_MAX = 0.3
 LAMBDA_MID_MIN = 0.1  # min sideways spread: rejects collinear slivers
 
 

@@ -103,6 +103,18 @@ def build_tile_candidates(
         return planes[:, :, :, k, :].reshape(nb)
 
     valid = field(4) > 0.5
+    # OCCLUDER blocks: real crossing evidence but no valid plane (mixed
+    # two-surface blocks at object silhouettes, collinear slivers). A
+    # ray entering one has surface there that the plane model cannot
+    # represent; letting it continue to farther geometry paints a
+    # coherent ONE-SIGNED +2..5 voxel depth error over the silhouette
+    # band (measured: the dominant model-bias tail). Such rays must end
+    # INVALID instead — the kernel tests them against the block's
+    # crossing-set bounding sphere and, if that is the nearest event,
+    # reports no model sample (matching what a TSDF marcher renders
+    # there: no clean crossing).
+    occl = (~valid) & (field(5) >= 3.0)
+    usable = valid | occl
     nx_f, ny_f, nz_f = field(0), field(1), field(2)
 
     ids = jnp.arange(nb)
@@ -133,7 +145,9 @@ def build_tile_candidates(
     pr_v = intr.fy * radius / safe_z
     u_overlap = (u + pr_u > 0) & (u - pr_u < intr.width)
     v_overlap = (v + pr_v > 0) & (v - pr_v < intr.height)
-    keep = valid & in_front & facing & u_overlap & v_overlap
+    # Occluders bypass the facing test (their fitted normal is exactly
+    # what failed validation).
+    keep = usable & in_front & (facing | occl) & u_overlap & v_overlap
 
     # Nearest-first selection of the visible set: one int sort over all
     # sub-blocks keyed by quantized camera distance (dropped blocks get
@@ -202,10 +216,10 @@ def build_tile_candidates(
     # both the old full transpose and per-field 1-D gathers.
     stacked = jnp.stack(
         [nx_f, ny_f, nz_f, field(3), field(8), field(9), field(10),
-         field(7), field(6)],
+         field(7), field(6), occl.astype(jnp.float32)],
         axis=0,
-    )  # (9, nb)
-    sel_f = jnp.take(stacked, sel, axis=1)  # (9, nv)
+    )  # (10, nb)
+    sel_f = jnp.take(stacked, sel, axis=1)  # (10, nv)
     s_nx, s_ny, s_nz = sel_f[0], sel_f[1], sel_f[2]
     f_num = sel_f[3] - (s_nx * t[0] + s_ny * t[1] + s_nz * t[2])
     prep_t = jnp.stack(
@@ -220,9 +234,10 @@ def build_tile_candidates(
             sel_f[7] * sel_f[7],  # support radius^2
             sel_f[8],  # sub-block id (seam masking)
             keep_s.astype(jnp.float32),  # ok
+            sel_f[9],  # occluder flag (sphere-test, invalidates rays)
         ],
         axis=0,
-    )  # (10, nv)
+    )  # (11, nv)
 
     cand_t = jnp.take(prep_t, slot_idx.reshape(-1), axis=1)  # (10, n_tiles*max_ct)
     cand = jnp.transpose(
@@ -234,8 +249,9 @@ def build_tile_candidates(
 
 
 def _kernel(params, cand, out):
-    """One (8, 8, 128) output block per tile: rows = [depth, vx, vy, vz,
-    nx, ny, nz, bid] (the channel-major raw-map layout, kinfu/maps.py).
+    """One (9, 8, 128) output block per tile: rows = [depth, vx, vy, vz,
+    nx, ny, nz, bid, occluder-event t] (the channel-major RAW-map
+    layout; finalize_plane_maps consumes row 8 and drops it).
     One packed buffer instead of eight: Pallas pipeline bookkeeping is
     ~0.36us per buffer per active step (PERFORMANCE.md), so 8 -> 1
     output buffers saves ~0.75 ms/frame across the ~300-tile grid."""
@@ -278,6 +294,7 @@ def _kernel(params, cand, out):
     rad2 = col(7)
     bid = col(8)
     ok = col(9)
+    occf = col(10)
 
     den = nx * dwx + ny * dwy + nz * dwz  # (max_ct, 8, 128)
     safe = jnp.where(jnp.abs(den) > 1e-9, den, -1e-9)
@@ -288,12 +305,33 @@ def _kernel(params, cand, out):
     dist2 = qx * qx + qy * qy + qz * qz
     hit = (
         (ok > 0.5)
+        & (occf < 0.5)
         & (den < 0.0)  # normal (toward free space) faces the ray
         & (dist2 <= rad2)
         & (tq > z_min)
     )
     tt = jnp.where(hit, tq, BIG)
     best_t = jnp.min(tt, axis=0, keepdims=True)  # (1, 8, 128)
+
+    # OCCLUDER candidates (build_tile_candidates: crossing evidence, no
+    # valid plane): ray-sphere closest-approach against the crossing-set
+    # support sphere. If such a block is the ray's nearest event, there
+    # IS surface there that the plane model can't represent — the pixel
+    # must come out INVALID rather than painting the geometry behind it
+    # (a one-signed +2..5 voxel silhouette bias, measured). The
+    # SUPPRESSION DECISION is deferred to finalize_plane_maps: this
+    # kernel only reports the nearest occluder event time (raw row 8),
+    # so the mesh-sharded raycast can pmin-combine occluder events
+    # across slabs before deciding — an occluder in one slab must beat
+    # a surface hit from another (bit-exact single-chip parity).
+    d2 = dwx * dwx + dwy * dwy + dwz * dwz
+    ts = (rx * dwx + ry * dwy + rz * dwz) / d2
+    ox_ = ts * dwx - rx
+    oy_ = ts * dwy - ry
+    oz_ = ts * dwz - rz
+    miss2 = ox_ * ox_ + oy_ * oy_ + oz_ * oz_
+    hit_o = (ok > 0.5) & (occf > 0.5) & (miss2 <= rad2) & (ts > z_min)
+    best_o = jnp.min(jnp.where(hit_o, ts, BIG), axis=0, keepdims=True)
     got = best_t < BIG
     # Tie-break by block id so a pixel's fields all come from ONE
     # candidate (coplanar neighboring sub-blocks can tie in t exactly).
@@ -313,6 +351,7 @@ def _kernel(params, cand, out):
     out[5] = jnp.where(got[0], bny[0], 0.0)
     out[6] = jnp.where(got[0], bnz[0], 0.0)
     out[7] = jnp.where(got[0], bbid[0], -1.0)
+    out[8] = best_o[0]  # nearest occluder event (BIG = none)
 
 
 def raycast_tiles_maps(
@@ -324,10 +363,12 @@ def raycast_tiles_maps(
     interpret: bool = False,
     block_x0=0,
 ):
-    """Raw model maps before seam masking, ONE channel-major (8, H, W)
-    array: rows [depth, vx, vy, vz, nx, ny, nz, bid] (kinfu/maps.py raw
-    layout; bid feeds raycast_pallas.finalize_plane_maps' seam mask).
-    Width is processed in 128-pixel tiles (padded, cropped)."""
+    """Raw model maps before seam masking, ONE channel-major (9, H, W)
+    array: rows [depth, vx, vy, vz, nx, ny, nz, bid, occluder-event t]
+    (bid feeds raycast_pallas.finalize_plane_maps' seam mask; row 8 is
+    the nearest gate-failed-block event, BIG = none, which finalize
+    turns into invalidation AFTER any cross-slab combine). Width is
+    processed in 128-pixel tiles (padded, cropped)."""
     n_bands = intr.height // 8
     n_ut = -(-intr.width // 128)
     w_pad = n_ut * 128
@@ -345,7 +386,8 @@ def raycast_tiles_maps(
             jnp.array(
                 [intr.fx, intr.fy, intr.cx, intr.cy, z_min, n_ut], jnp.float32
             ),
-            jnp.zeros((14,), jnp.float32),
+            jnp.asarray(vol.voxel_size, jnp.float32).reshape(1),
+            jnp.zeros((13,), jnp.float32),
         ]
     ).astype(jnp.float32)
 
@@ -357,10 +399,10 @@ def raycast_tiles_maps(
             pl.BlockSpec((1, cand.shape[1], N_PREP), lambda g: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (8, 8, 128),
+            (9, 8, 128),
             lambda g, n_ut=n_ut: (0, g // n_ut, g % n_ut),
         ),
-        out_shape=jax.ShapeDtypeStruct((8, intr.height, w_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9, intr.height, w_pad), jnp.float32),
         interpret=interpret,
     )(params, cand)
 

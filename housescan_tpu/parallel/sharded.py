@@ -217,7 +217,7 @@ def make_sharded_step(
     )
     def raycast_shards_pallas(data, planes, origin, voxel_size, trunc, pose):
         from housescan_tpu.kinfu.tsdf import TsdfVolume as TV
-        from housescan_tpu.ops.raycast_pallas import RAW_BID
+        from housescan_tpu.ops.raycast_pallas import RAW_BID, RAW_OCC
         from housescan_tpu.ops.raycast_tiles import raycast_tiles_maps
 
         idx = jax.lax.axis_index(axis)
@@ -245,12 +245,19 @@ def make_sharded_step(
         any_win = jax.lax.pmax(win.astype(jnp.float32), axis) > 0
         # One masked pmax combines vertex+normal rows AND the bid row
         # (bid's loser sentinel is -1; -big masks lower still).
-        rows = jax.lax.pmax(jnp.where(win[None], raw[1:], -big), axis)
+        rows = jax.lax.pmax(jnp.where(win[None], raw[1:RAW_OCC], -big), axis)
         rows = jnp.where(any_win[None], rows, 0.0)
         bid_out = jnp.where(any_win, rows[RAW_BID - 1], -1.0)
         depth_out = jnp.where(any_win, jnp.where(jnp.isinf(best), 0.0, best), 0.0)
+        # Occluder events compete GLOBALLY: the nearest gate-failed
+        # block across all slabs must be able to suppress a surface
+        # win from any other slab (finalize_plane_maps does the
+        # suppression on this combined row — bit-exact single-chip
+        # semantics; raw row 8 carries BIG where a slab saw none).
+        occ_out = jax.lax.pmin(raw[RAW_OCC], axis)
         return jnp.concatenate(
-            [depth_out[None], rows[: RAW_BID - 1], bid_out[None]], axis=0
+            [depth_out[None], rows[: RAW_BID - 1], bid_out[None],
+             occ_out[None]], axis=0
         )
 
     # --- integrate: shard-local ---------------------------------------
@@ -346,12 +353,16 @@ def make_sharded_step(
             # pipeline's. (The row-sharded psum'd GN variant below
             # remains the XLA path's demonstrator for scale-out of the
             # 6x6 reduction.)
+            # Per-level gates mirroring kinfu_step's voxel-scaled
+            # defaults exactly (bit-exact parity with single-chip).
+            fine = jnp.maximum(1.5 * state.volume.voxel_size, 0.015)
             pose = icp_track(
                 list(pyr.maps),
                 model_pyr,
                 state.pose,
                 intr,
                 iterations=iterations,
+                dist_threshold=(fine, 0.05, 0.10),
                 init_pose=state.pose,
                 use_pallas=True,
                 interpret=interpret,
@@ -393,7 +404,9 @@ def make_sharded_step(
             )
             from housescan_tpu.ops.raycast_pallas import finalize_plane_maps
 
-            model_maps = finalize_plane_maps(raw)
+            model_maps = finalize_plane_maps(
+                raw, voxel_size=volume.voxel_size
+            )
         else:
             planes = state.planes
             tsdf, weight = integrate_shards(

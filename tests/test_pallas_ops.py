@@ -168,10 +168,18 @@ class TestPlaneRaycast:
 
         rc = raycast_pallas(vol, jnp.asarray(poses[0]), INTR, interpret=True)
         valid = np.asarray(rc[mp.MD_VALID] > 0.5)
-        assert valid.mean() > 0.9
+        # The model is VALIDITY-honest by design: silhouette skirts,
+        # mixed two-surface blocks (occluders) and edge-dilated bands
+        # render INVALID instead of coherently wrong (they drove ICP
+        # drift; see ops/raycast_tiles.py occluder + raycast_pallas
+        # skirt-mask comments). Coverage is therefore lower than a
+        # paint-everything raycast, and in exchange the error tail
+        # must be a few percent, not a bias band.
+        assert valid.mean() > 0.55
         m = valid & (frames[0] > 0)
         err = np.abs(np.asarray(rc[mp.MD_DEPTH])[m] - frames[0][m])
-        # median sub-mm on planar surfaces even at coarse 128^3
-        assert np.median(err) < 0.002
-        # outlier tail (occlusion-edge plane extensions) stays bounded
-        assert (err > 0.05).mean() < 0.08
+        # median MICROMETER-scale on planar surfaces even at coarse
+        # 128^3 (planes fit TSDF crossings to machine precision).
+        assert np.median(err) < 0.0005
+        # outlier tail: bounded at >10 mm, not merely at >50 mm
+        assert (err > 0.01).mean() < 0.04
