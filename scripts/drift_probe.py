@@ -42,6 +42,8 @@ def main() -> None:
                     "Pallas plane raycast (quality reference)")
     ap.add_argument("--dist", type=float, default=None,
                     help="ICP fine-level distance gate override")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="Kinect-like depth noise sigma at 2 m (meters)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +79,8 @@ def main() -> None:
     half, boxes = furnished_room()
     poses = orbit_poses(n + 1, radius=args.radius, yaw_range=0.02 * n,
                         pitch=0.25)
-    frames = render_depth_stream(intr, poses, half, boxes=boxes)
+    frames = render_depth_stream(intr, poses, half, boxes=boxes,
+                                 noise=args.noise)
 
     interpret = not args.tpu
     kw = dict(resolution=args.res, size_m=3.0,
