@@ -269,6 +269,7 @@ def icp_track(
     dampings: Sequence[float] = (3e-4, 3e-3, 1e-2),
     use_pallas: bool = False,
     interpret: bool = False,
+    tight_threshold=None,
 ) -> IcpResult:
     """Track the camera for one frame over the pyramid.
 
@@ -283,14 +284,24 @@ def icp_track(
     estimate defaults to the previous pose (constant-position model).
 
     ``dist_threshold`` is a scalar or a per-level sequence (indexed like
-    ``iterations``; traced values allowed). A TIGHT finest-level gate is
-    the single most effective defense against residual model bias: the
-    plane-raycast model's remaining error lives in a sparse one-signed
-    silhouette tail, and gating at ~2.5 voxels excludes it while keeping
-    every true correspondence (tracking residuals are sub-voxel once the
-    coarse levels have pulled the pose in) — measured 2.5 -> 0.37 mm
-    per-frame tracking error on the 128^3 synthetic orbit. Coarse
-    levels keep loose gates so large inter-frame motion still converges.
+    ``iterations``; traced values allowed). ``tight_threshold`` enables
+    the ADAPTIVE gate: every level runs TIGHT by default and widens to
+    its (loose) ``dist_threshold`` only when the correspondence count
+    collapses below 10% of the visible model pixels, re-tightening
+    after half the remaining budget. Why tight-first (all measured on
+    the 128^3 synthetic orbit, frame-1 tracking error):
+
+      * tight everywhere from the previous pose: 0.32 mm; loose coarse
+        gates: 2.49 mm. The model's residual bias is a sparse
+        geometry-scale one-signed silhouette tail; loose gates admit it
+        at the COARSEST level and finer levels cannot recover
+        (point-to-plane residuals are blind to the in-plane component,
+        and re-association from the biased pose has its own fixed
+        point at ~1.3 mm — annealing loose-then-tight was tried and
+        converged there, not at 0.32).
+      * tight-only converges from inter-frame offsets up to ~20 mm and
+        collapses at 30 mm with a 50x correspondence-count drop (2710
+        -> 57) — a crisp, cheap widening trigger for fast motion.
     """
     from housescan_tpu.kinfu import maps as mp
 
@@ -340,6 +351,7 @@ def icp_track(
                 angle_threshold=angle_threshold,
                 damping=damp,
                 interpret=interpret,
+                tight_threshold=tight_threshold,
             )
             use = lvl_corr > 0
             rmse = jnp.where(use, lvl_rmse, rmse)
@@ -353,18 +365,25 @@ def icp_track(
         mv, mn, mok, _ = mp.model_to_hwc(model_maps[level])
         grads = _model_gradients(mv, mok)
 
-        # Iterate until the twist increment is negligible (the usual
-        # case after 3-5 iterations) or the level's budget runs out —
-        # the classic fixed-count loop wastes most of its iterations
-        # re-proving convergence.
+        # Iterate until a HEALTHY TIGHT iteration's twist increment is
+        # negligible (the usual case after 3-5 iterations) or the
+        # level's budget runs out. Adaptive gate state machine mirrors
+        # ops/icp_pallas.py: tight by default; a correspondence-count
+        # collapse widens the gate for half the remaining budget.
+        mok_total = jnp.sum(mok.astype(jnp.float32))
+
         def cond(carry, _iters=iters):
-            i, _, _, _, norm = carry
-            return (i < _iters) & (norm > 1e-5)
+            i, _, _, _, _, done = carry
+            return (i < _iters) & ~done
 
         def body(carry, _lv=lv, _ln=ln, _mv=mv, _mn=mn, _mok=mok,
                  _win=win, _intr=lvl_intr, _damp=damp, _grads=grads,
-                 _dist=dist):
-            i, p, _, _, _ = carry
+                 _dist=dist, _iters=iters):
+            i, p, _, _, widen_until, _ = carry
+            if tight_threshold is None:
+                gate_d = _dist
+            else:
+                gate_d = jnp.where(i < widen_until, _dist, tight_threshold)
             p2, rm, nc, norm = _icp_level_iteration(
                 p,
                 _lv,
@@ -375,14 +394,23 @@ def icp_track(
                 _grads,
                 prev_pose,
                 _intr,
-                _dist,
+                gate_d,
                 angle_threshold,
                 window=_win,
                 damping=_damp,
             )
-            return i + 1, p2, rm, nc, norm
+            was_tight = i >= widen_until
+            if tight_threshold is None:
+                healthy = jnp.asarray(True)
+            else:
+                healthy = nc.astype(jnp.float32) >= 0.1 * mok_total
+            widen2 = jnp.where(
+                (~healthy) & was_tight, i + 1 + (_iters - i) // 2, widen_until
+            )
+            done = (norm <= 1e-5) & healthy & was_tight
+            return i + 1, p2, rm, nc, widen2, done
 
-        _, pose, lvl_rmse, lvl_corr, _ = jax.lax.while_loop(
+        _, pose, lvl_rmse, lvl_corr, _, _ = jax.lax.while_loop(
             cond,
             body,
             (
@@ -390,7 +418,8 @@ def icp_track(
                 pose,
                 jnp.asarray(0.0, jnp.float32),
                 jnp.asarray(0, jnp.int32),
-                jnp.asarray(jnp.inf, jnp.float32),
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(False),
             ),
         )
         # Report diagnostics from the FINEST level that actually had

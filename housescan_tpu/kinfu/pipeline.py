@@ -161,17 +161,18 @@ def kinfu_step(
     # one — the closed loop then snaps after ~15 frames even though every
     # individual clean-map ICP solve is sub-millimeter. The association
     # windows comfortably cover per-frame motion without seeding.)
+    # The ADAPTIVE tight gate is ~15 mm at EVERY resolution: the outlier
+    # tail it must exclude is GEOMETRY-scale (wrong-surface associations
+    # at silhouettes, >= 10 mm regardless of voxel size) while true
+    # residuals are mm-scale. A voxel-proportional term was tried and
+    # measured HARMFUL at coarse resolutions (1.5 voxels = 35 mm at
+    # 128^3 re-admitted the tail: frame-1 tracking error 2.46 mm vs
+    # 0.32 mm at a flat 15 mm). Fast motion is covered by the adaptive
+    # widening to the loose per-level gates below, not by a bigger
+    # tight gate (icp_track docstring for all measurements).
+    tight = 0.015
     if dist_threshold is None:
-        # Per-level correspondence gates (icp_track docstring). The
-        # outlier tail the fine gate must exclude is GEOMETRY-scale
-        # (wrong-surface associations at silhouettes, >= 10 mm
-        # regardless of resolution) while true residuals after the
-        # coarse levels are a few mm, so the fine gate is ~15 mm nearly
-        # independent of voxel size; the 1.5-voxel term only relaxes it
-        # at coarse test resolutions where per-frame pose error itself
-        # is voxel-scaled. Coarse levels stay loose for motion.
-        fine = jnp.maximum(1.5 * state.volume.voxel_size, 0.015)
-        dist_threshold = (fine, 0.05, 0.10)
+        dist_threshold = (tight, 0.05, 0.10)
 
     init_pose = state.model_pose
     icp = icp_track(
@@ -185,6 +186,7 @@ def kinfu_step(
         init_pose=init_pose,
         use_pallas=use_pallas,
         interpret=interpret,
+        tight_threshold=tight,
     )
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)

@@ -71,13 +71,26 @@ def _kernel(
     ptx, pty, ptz = params[9], params[10], params[11]
     fx, fy, cx, cy = params[12], params[13], params[14], params[15]
     gate = params[16]
-    dist2 = params[17]
     sin2 = params[18]
     huber = params[19]
     damping = params[20]
     max_step = params[21]
     h_valid = params[22]
     w_valid = params[23]
+    # ADAPTIVE distance gate (kinfu/icp.py icp_track docstring): TIGHT
+    # (params[24]) by default — it rejects the model's geometry-scale
+    # bias tail that otherwise steers weakly-observed pose modes, and
+    # measured it converges from inter-frame offsets up to ~20 mm.
+    # Only when the correspondence count COLLAPSES (fast motion: the
+    # residuals of true pairs exceed the tight gate; measured 50x corr
+    # drop at a 30 mm offset) does the gate WIDEN to the level's loose
+    # threshold (params[17]) for half the remaining iterations, then
+    # re-tighten. flags[0, 4] holds the level's visible-model-pixel
+    # count (the collapse reference), flags[0, 5] the iteration until
+    # which the loose gate stays active.
+    corr_frac = params[25]
+    widen_until = flags[0, 5].astype(jnp.int32)
+    dist2 = jnp.where(it < widen_until, params[17], params[24])
 
     @pl.when((it == 0) & (band == 0))
     def _init():
@@ -87,6 +100,8 @@ def _kernel(
         flags[0, 1] = 0.0
         flags[0, 2] = 0.0
         flags[0, 3] = 0.0
+        flags[0, 4] = 0.0
+        flags[0, 5] = 0.0
 
     converged = flags[0, 0] > 0.5
 
@@ -160,6 +175,14 @@ def _kernel(
         near = (jnp.abs(du) <= gate) & (jnp.abs(dv) <= gate)
         m_ok = (mok > 0.5) & near
 
+        @pl.when(it == 0)
+        def _count_mok():
+            # Visible-model-pixel count: the collapse-detection
+            # reference for the adaptive gate (pose-independent).
+            flags[0, 4] = flags[0, 4] + jnp.sum(
+                ((mok > 0.5) & in_img).astype(jnp.float32)
+            )
+
         # linearized sub-pixel association along model gradients
         amx = mvx + gux * du + gvx * dv
         amy = mvy + guy * du + gvy * dv
@@ -229,7 +252,20 @@ def _kernel(
         flags[0, 1] = rmse
         flags[0, 2] = n_corr
         flags[0, 3] = flags[0, 3] + 1.0
-        flags[0, 0] = jnp.where(norm <= 1e-5, 1.0, 0.0)
+        # Adaptive gate state machine (header comment): a collapsed
+        # tight iteration triggers the loose phase; convergence only
+        # counts for a HEALTHY TIGHT iteration.
+        healthy = n_corr >= corr_frac * flags[0, 4]
+        was_tight = it >= widen_until
+        trigger = (~healthy) & was_tight
+        flags[0, 5] = jnp.where(
+            trigger,
+            (it + 1 + (n_iters - it) // 2).astype(jnp.float32),
+            flags[0, 5],
+        )
+        flags[0, 0] = jnp.where(
+            (norm <= 1e-5) & healthy & was_tight, 1.0, 0.0
+        )
 
     @pl.when((it == n_iters - 1) & (band == n_bands - 1))
     def _finish():
@@ -292,9 +328,17 @@ def icp_level_pallas(
     damping: float = 3e-4,
     max_step: float = 0.3,
     interpret: bool = False,
+    tight_threshold=None,
+    corr_frac: float = 0.1,
 ):
     """Run one pyramid level's GN iterations fused. Returns
-    (pose, rmse, n_corr) like one level of kinfu/icp.icp_track."""
+    (pose, rmse, n_corr) like one level of kinfu/icp.icp_track.
+
+    ``tight_threshold``: enables the ADAPTIVE gate (kernel header):
+    tight by default, widening to ``dist_threshold`` only when the
+    correspondence count collapses below ``corr_frac`` of the visible
+    model pixels (fast motion), then re-tightening. ``None`` = single
+    fixed gate."""
     _, hp, wp = packed.shape
     assert hp % BAND_H == 0 and wp % 128 == 0
     n_bands = hp // BAND_H
@@ -302,6 +346,9 @@ def icp_level_pallas(
 
     import numpy as np
 
+    if tight_threshold is None:
+        tight_threshold = dist_threshold
+        corr_frac = 0.0  # never widen (gates are equal anyway)
     prot = prev_pose[:3, :3]
     pt = prev_pose[3, :3]
     params = jnp.concatenate(
@@ -318,10 +365,12 @@ def icp_level_pallas(
                     damping,
                     max_step,
                     intr.height, intr.width,
+                    tight_threshold * tight_threshold,
+                    corr_frac,
                 ],
                 jnp.float32,
             ),
-            jnp.zeros((8,), jnp.float32),
+            jnp.zeros((6,), jnp.float32),
         ]
     ).astype(jnp.float32)
 
@@ -341,7 +390,7 @@ def icp_level_pallas(
         scratch_shapes=[
             pltpu.SMEM((1, N_ACC + 4), jnp.float32),
             pltpu.SMEM((1, 16), jnp.float32),
-            pltpu.SMEM((1, 4), jnp.float32),
+            pltpu.SMEM((1, 6), jnp.float32),
         ],
         interpret=interpret,
     )(params, packed, pose.reshape(1, 16))

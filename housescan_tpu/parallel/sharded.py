@@ -353,19 +353,21 @@ def make_sharded_step(
             # pipeline's. (The row-sharded psum'd GN variant below
             # remains the XLA path's demonstrator for scale-out of the
             # 6x6 reduction.)
-            # Per-level gates mirroring kinfu_step's voxel-scaled
-            # defaults exactly (bit-exact parity with single-chip).
-            fine = jnp.maximum(1.5 * state.volume.voxel_size, 0.015)
+            # Per-level loose gates + adaptive tight gate mirroring
+            # kinfu_step's defaults exactly (bit-exact parity with
+            # single-chip; see kinfu/pipeline.py for why 15 mm flat).
+            tight = 0.015
             pose = icp_track(
                 list(pyr.maps),
                 model_pyr,
                 state.pose,
                 intr,
                 iterations=iterations,
-                dist_threshold=(fine, 0.05, 0.10),
+                dist_threshold=(tight, 0.05, 0.10),
                 init_pose=state.pose,
                 use_pallas=True,
                 interpret=interpret,
+                tight_threshold=tight,
             ).pose
         else:
             # Coarse levels replicated (small images).

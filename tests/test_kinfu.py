@@ -291,10 +291,12 @@ class TestPipeline:
         """Closed-loop drift bound on the PRODUCTION (Pallas) model path.
 
         Pins the validity-honest raycast stack (occluders, planarity
-        gate, skirt masking, per-level ICP gates): measured 19.9 mm
-        after 6 frames at this deliberately harsh 128^3 / 23 mm-voxel
-        config (the pre-fix model collapsed to 162 mm here; the 512^3
-        bench config runs ~50x tighter). 35 mm is the regression bound.
+        gate, skirt masking) + the ADAPTIVE tight ICP gate: measured
+        11.6 mm after 6 frames at this doubly-harsh config (128^3 =
+        23 mm voxels AND a 160x120 quarter-resolution camera; at
+        320x240 the same loop measures 1.19 mm = 0.2 mm/frame, and the
+        pre-fix model collapsed to 162 mm). 20 mm is the regression
+        bound.
         """
         poses, frames = stream
         state = kinfu_init(
@@ -307,7 +309,7 @@ class TestPipeline:
                 use_pallas=True, interpret=True,
             )
         err = np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[6][3, :3])
-        assert err < 0.035, f"closed-loop drift {err*1000:.1f}mm over 6 frames"
+        assert err < 0.020, f"closed-loop drift {err*1000:.1f}mm over 6 frames"
 
     def test_surface_extraction_on_true_surfaces(self, stream):
         poses, frames = stream
