@@ -42,6 +42,14 @@ class KinFuState(NamedTuple):
     frame_index: jnp.ndarray  # () int32
     last_rmse: jnp.ndarray  # () f32 ICP rmse of the last step
     last_corr: jnp.ndarray  # () int32 ICP correspondences of the last step
+    # () bool — the last frame's ICP produced a usable pose. False =
+    # TRACKING LOST (correspondence collapse even after the adaptive
+    # gate widened): the frame was DROPPED — not integrated, pose and
+    # model unchanged — so one bad frame cannot corrupt the map (the
+    # reference's PCL KinFu stops integrating on ICP failure the same
+    # way). Tracking resumes when the camera returns near the last
+    # good pose.
+    last_tracked: jnp.ndarray
 
 
 def kinfu_init(
@@ -77,6 +85,7 @@ def kinfu_init(
         frame_index=jnp.asarray(0, jnp.int32),
         last_rmse=jnp.asarray(0.0, jnp.float32),
         last_corr=jnp.asarray(0, jnp.int32),
+        last_tracked=jnp.asarray(True),
     )
 
 
@@ -191,8 +200,26 @@ def kinfu_step(
     # Frame 0 has no model yet: keep the initial pose.
     new_pose = jnp.where(is_first, state.pose, icp.pose)
 
+    # TRACKING-LOSS gate (KinFuState.last_tracked): if the adaptive ICP
+    # still ends with a collapsed correspondence set, the pose is
+    # unusable — DROP the frame: keep the previous pose, feed the
+    # integrate an all-invalid depth (its prepass then lists nothing
+    # and the volume/planes pass through unchanged), and keep the
+    # previous model maps. 0.2% of pixels separates cleanly: genuinely
+    # lost tracking measures ~0.07% while sparse early models still
+    # give >1% (kinfu/icp.py capture-range measurements). A frame whose
+    # MODEL was too sparse to ever yield min_corr is a GROWTH-phase
+    # frame, not a tracking loss: there was nothing to track against
+    # (young map, or the camera swung onto unscanned space), so keep
+    # integrating at the carried pose instead of stalling the map.
+    min_corr = max(32, int(0.002 * intr.width * intr.height))
+    model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
+    tracked = is_first | (icp.n_corr >= min_corr) | (model_px < 4 * min_corr)
+    new_pose = jnp.where(tracked, new_pose, state.pose)
+    depth_eff = jnp.where(tracked, raw_depth, jnp.zeros_like(raw_depth))
+
     volume, planes = _integrate_dispatch(
-        state.volume, state.planes, raw_depth, new_pose, intr, max_weight,
+        state.volume, state.planes, depth_eff, new_pose, intr, max_weight,
         use_pallas, interpret=interpret,
     )
 
@@ -214,15 +241,21 @@ def kinfu_step(
         # CPU/XLA fallback: interleave -> packed off the hot path.
         model_maps = mp.model_from_hwc(rc.vertices, rc.normals, rc.valid, rc.depth)
 
+    # A dropped frame keeps the previous model maps (the volume did not
+    # change; re-rendering would produce the same maps, skipping the
+    # where costs nothing and guarantees it).
+    model_maps = jnp.where(tracked, model_maps, state.model_maps)
+
     return KinFuState(
         volume=volume,
         planes=planes,
         pose=new_pose,
         model_maps=model_maps,
-        model_pose=new_pose,
+        model_pose=jnp.where(tracked, new_pose, state.model_pose),
         frame_index=state.frame_index + 1,
         last_rmse=jnp.where(is_first, 0.0, icp.rmse),
         last_corr=jnp.where(is_first, 0, icp.n_corr),
+        last_tracked=tracked,
     )
 
 

@@ -89,6 +89,7 @@ def scan_to_room_dir(
             trunc=tsdf_cfg.trunc_dist,
             init_pose=None if init_pose is None else jnp.asarray(init_pose),
         )
+    n_dropped = 0
     for k, frame in enumerate(stream):
         if k < start_frame:
             continue
@@ -104,12 +105,21 @@ def scan_to_room_dir(
             use_pallas=use_pallas,
         )
         poses.append(np.asarray(state.pose))
+        if not bool(state.last_tracked):
+            n_dropped += 1
+            if progress:
+                print(
+                    f"  frame {k}/{len(stream)} TRACKING LOST "
+                    f"(corr {int(state.last_corr)}) — frame dropped"
+                )
         if checkpoint_every and (k + 1) % checkpoint_every == 0:
             from housescan_tpu.kinfu.scan_checkpoint import save_scan_state
 
             save_scan_state(state, k + 1, intr, ckpt, trajectory=np.stack(poses))
         if progress and k % 10 == 0:
             print(f"  frame {k}/{len(stream)} icp_rmse={float(state.last_rmse)*1000:.2f}mm")
+    if progress and n_dropped:
+        print(f"  {n_dropped} frame(s) dropped to tracking loss")
 
     return write_room_outputs(
         state.volume,

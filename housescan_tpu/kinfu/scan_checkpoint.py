@@ -34,7 +34,9 @@ from housescan_tpu.kinfu.tsdf import TsdfVolume
 #     scan writes the same trajectory.npz as an uninterrupted one.
 # v3: model maps stored channel-major packed (8, H, W) (kinfu/maps.py)
 #     instead of three interleaved arrays; v2 checkpoints migrate.
-SCAN_SCHEMA_VERSION = 3
+# v4: last_tracked tracking-loss flag added (kinfu/pipeline.py);
+#     v1-v3 checkpoints migrate with last_tracked=True.
+SCAN_SCHEMA_VERSION = 4
 
 
 def _state_fingerprint(state: KinFuState) -> str:
@@ -92,6 +94,7 @@ def save_scan_state(
         "state_frame_index": np.asarray(state.frame_index),
         "last_rmse": np.asarray(state.last_rmse),
         "last_corr": np.asarray(state.last_corr),
+        "last_tracked": np.asarray(state.last_tracked),
         "trajectory": (
             np.zeros((0, 4, 4), np.float32)
             if trajectory is None
@@ -117,7 +120,7 @@ def load_scan_state(
     """
     with np.load(Path(path), allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
-        if manifest["schema_version"] not in (1, 2, SCAN_SCHEMA_VERSION):
+        if manifest["schema_version"] not in (1, 2, 3, SCAN_SCHEMA_VERSION):
             raise ValueError(
                 f"scan checkpoint schema v{manifest['schema_version']} != "
                 f"supported v{SCAN_SCHEMA_VERSION}"
@@ -138,7 +141,7 @@ def load_scan_state(
             trunc=jnp.asarray(z["volume_trunc"]),
         )
         version = manifest["schema_version"]
-        if version == SCAN_SCHEMA_VERSION:
+        if version >= 3:
             model_maps = jnp.asarray(z["model_maps"])
         else:
             # v1/v2 migration: pack the three interleaved model arrays
@@ -162,6 +165,13 @@ def load_scan_state(
             frame_index=jnp.asarray(z["state_frame_index"]),
             last_rmse=jnp.asarray(z["last_rmse"]),
             last_corr=jnp.asarray(z["last_corr"]),
+            # v1-v3 migration: the flag did not exist; a checkpoint was
+            # only ever written after successfully fused frames.
+            last_tracked=(
+                jnp.asarray(z["last_tracked"])
+                if version == SCAN_SCHEMA_VERSION
+                else jnp.asarray(True)
+            ),
         )
         if version == SCAN_SCHEMA_VERSION:
             if _state_fingerprint(state) != manifest["fingerprint"]:
@@ -170,7 +180,7 @@ def load_scan_state(
                     "KinFuState schema (refusing unsafe resume)"
                 )
             trajectory = np.asarray(z["trajectory"], np.float32)
-        elif version == 2:
+        elif version in (2, 3):
             trajectory = np.asarray(z["trajectory"], np.float32)
         else:
             # v1: same arrays plus a velocity field we drop; the stored

@@ -357,7 +357,7 @@ def make_sharded_step(
             # kinfu_step's defaults exactly (bit-exact parity with
             # single-chip; see kinfu/pipeline.py for why 15 mm flat).
             tight = 0.015
-            pose = icp_track(
+            icp = icp_track(
                 list(pyr.maps),
                 model_pyr,
                 state.pose,
@@ -368,7 +368,9 @@ def make_sharded_step(
                 use_pallas=True,
                 interpret=interpret,
                 tight_threshold=tight,
-            ).pose
+            )
+            pose = icp.pose
+            icp_corr = icp.n_corr
         else:
             # Coarse levels replicated (small images).
             coarse = icp_track(
@@ -390,8 +392,27 @@ def make_sharded_step(
                 )
                 x, ok = _solve_increment(a, b)
                 pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
+            icp_corr = None
 
         new_pose = jnp.where(is_first, state.pose, pose)
+
+        # Tracking-loss gate mirroring kinfu_step exactly (drop the
+        # frame: previous pose, all-invalid depth -> no-op integrate;
+        # sparse-model frames are growth phase, not loss).
+        if icp_corr is not None:
+            min_corr = max(32, int(0.002 * intr.width * intr.height))
+            model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
+            tracked = (
+                is_first
+                | (icp_corr >= min_corr)
+                | (model_px < 4 * min_corr)
+            )
+            new_pose = jnp.where(tracked, new_pose, state.pose)
+            raw_depth = jnp.where(
+                tracked, raw_depth, jnp.zeros_like(raw_depth)
+            )
+        else:
+            tracked = jnp.asarray(True)
 
         vol = state.volume
         if use_pallas:
@@ -434,6 +455,7 @@ def make_sharded_step(
                 _depth,
             )
 
+        model_maps = jnp.where(tracked, model_maps, state.model_maps)
         return ShardedKinFuState(
             volume=volume,
             planes=planes,

@@ -123,8 +123,9 @@ def main() -> None:
             icp = icp_track(list(pyr.maps), model_pyr, model_pose, intr,
                             iterations=(10, 5, 4), use_pallas=True,
                             dist_threshold=(
-                                0.10 if args.dist is None
+                                (0.015, 0.05, 0.10) if args.dist is None
                                 else (args.dist, 0.05, 0.10)),
+                            tight_threshold=args.dist or 0.015,
                             interpret=interpret)
             e = perr(icp.pose, i)
             errs.append(e)

@@ -311,6 +311,45 @@ class TestPipeline:
         err = np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[6][3, :3])
         assert err < 0.020, f"closed-loop drift {err*1000:.1f}mm over 6 frames"
 
+    def test_tracking_loss_drops_frame(self, stream):
+        """A frame whose ICP collapses (camera teleported) must be
+        DROPPED: pose, volume, planes and model unchanged,
+        last_tracked False — and tracking must resume on the next good
+        frame (ref: PCL KinFu stops integrating on ICP failure)."""
+        poses, frames = stream
+        state = kinfu_init(
+            INTR, resolution=128, size_m=3.0, trunc=0.06,
+            init_pose=jnp.asarray(poses[0]), dtype=jnp.int32,
+        )
+        for i in range(2):
+            state = kinfu_step(state, jnp.asarray(frames[i]), INTR,
+                               use_pallas=True, interpret=True)
+        assert bool(state.last_tracked)
+
+        # Teleported view: render from the opposite side of the room.
+        far = orbit_poses(2, radius=0.4, yaw_range=np.pi)[1:]
+        half, boxes = furnished_room()
+        bad = render_depth_stream(INTR, far, half, boxes=boxes)[0]
+        # kinfu_step donates its input state: snapshot to host first.
+        b_pose = np.asarray(state.pose)
+        b_vol = np.asarray(state.volume.data)
+        b_planes = np.asarray(state.planes)
+        b_maps = np.asarray(state.model_maps)
+        state = kinfu_step(state, jnp.asarray(bad), INTR,
+                           use_pallas=True, interpret=True)
+        assert not bool(state.last_tracked)
+        assert np.array_equal(np.asarray(state.pose), b_pose)
+        assert np.array_equal(np.asarray(state.volume.data), b_vol)
+        assert np.array_equal(np.asarray(state.planes), b_planes)
+        assert np.array_equal(np.asarray(state.model_maps), b_maps)
+
+        # Next good frame re-tracks.
+        state = kinfu_step(state, jnp.asarray(frames[2]), INTR,
+                           use_pallas=True, interpret=True)
+        assert bool(state.last_tracked)
+        err = np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[2][3, :3])
+        assert err < 0.02
+
     def test_surface_extraction_on_true_surfaces(self, stream):
         poses, frames = stream
         state = kinfu_init(
