@@ -170,16 +170,20 @@ def kinfu_step(
     # one — the closed loop then snaps after ~15 frames even though every
     # individual clean-map ICP solve is sub-millimeter. The association
     # windows comfortably cover per-frame motion without seeding.)
-    # The ADAPTIVE tight gate is ~15 mm at EVERY resolution: the outlier
-    # tail it must exclude is GEOMETRY-scale (wrong-surface associations
-    # at silhouettes, >= 10 mm regardless of voxel size) while true
-    # residuals are mm-scale. A voxel-proportional term was tried and
-    # measured HARMFUL at coarse resolutions (1.5 voxels = 35 mm at
-    # 128^3 re-admitted the tail: frame-1 tracking error 2.46 mm vs
-    # 0.32 mm at a flat 15 mm). Fast motion is covered by the adaptive
-    # widening to the loose per-level gates below, not by a bigger
-    # tight gate (icp_track docstring for all measurements).
-    tight = 0.015
+    # The ADAPTIVE tight gate must sit BETWEEN the true residuals
+    # (sub-voxel) and the model's bias tail, and the tail is
+    # VOXEL-scaled (~1-1.5 voxels: plane-extension skirts and
+    # sub-gate-tail silhouette pixels measured -31 mm at 128^3,
+    # -10 mm at 256^3). A flat gate fails on both ends: 15 mm at 256^3
+    # admits the whole tail (gt-posed per-frame tracking error 3.6 mm
+    # vs 0.37 mm at 128^3 where the same 15 mm excludes it), and a
+    # large multiple (1.5 voxels) re-admits it at coarse resolutions.
+    # 0.5 voxels splits them at every resolution; the 6 mm floor keeps
+    # sensor-noise-scale inliers at fine resolutions (Kinect sigma at
+    # 2 m ~ 4-8 mm). Fast motion is covered by the adaptive widening to
+    # the loose per-level gates, not by a bigger tight gate
+    # (icp_track docstring for all measurements).
+    tight = jnp.maximum(0.5 * state.volume.voxel_size, 0.006)
     if dist_threshold is None:
         dist_threshold = (tight, 0.05, 0.10)
 

@@ -355,8 +355,9 @@ def make_sharded_step(
             # 6x6 reduction.)
             # Per-level loose gates + adaptive tight gate mirroring
             # kinfu_step's defaults exactly (bit-exact parity with
-            # single-chip; see kinfu/pipeline.py for why 15 mm flat).
-            tight = 0.015
+            # single-chip; see kinfu/pipeline.py for the 0.5-voxel
+            # formula).
+            tight = jnp.maximum(0.5 * state.volume.voxel_size, 0.006)
             icp = icp_track(
                 list(pyr.maps),
                 model_pyr,
