@@ -519,16 +519,23 @@ def build_worklist(
     level = jnp.where(clean, level, 3).astype(jnp.int32)
     scale = jnp.exp2(level.astype(jnp.float32))
 
-    # Mip l dimensions (padded as in ops/tsdf_stream._build_mips); static.
+    # Mip l dimensions (padded as in ops/tsdf_stream.build_depth_mips,
+    # +1 for the replicated border row/col); static.
+    def _hp(h):
+        return max(-(-(h + 1) // 8) * 8, WIN_V)
+
+    def _wp(w):
+        return max(-(-(w + 1) // 128) * 128, WIN_U)
+
     h_l = [
-        max(-(-intr.height // 8) * 8, WIN_V),
-        max(-(-(intr.height // 2) // 8) * 8, WIN_V),
-        max(-(-(intr.height // 4) // 8) * 8, WIN_V),
+        _hp(intr.height),
+        _hp(-(-intr.height // 2)),
+        _hp(-(-intr.height // 4)),
     ]
     w_l = [
-        max(-(-intr.width // 128) * 128, WIN_U),
-        max(-(-(intr.width // 2) // 128) * 128, WIN_U),
-        max(-(-(intr.width // 4) // 128) * 128, WIN_U),
+        _wp(intr.width),
+        _wp(-(-intr.width // 2)),
+        _wp(-(-intr.width // 4)),
     ]
 
     def sel3(table, last):

@@ -264,10 +264,22 @@ def _kernel(
                 valid_w = (window > 0.0).astype(jnp.float32)
                 num_t = window.T  # (WIN_U, R)
                 den_t = valid_w.T
+                n_rows = window.shape[0]
 
                 def get_depth_tile(uf, vf):
                     uw = uf / scale - u0
                     vw = vf / scale - v0
+                    # Full bilinear footprint must lie INSIDE the window:
+                    # a projection past the edge gets partial hat-weight
+                    # sums whose renormalization extrapolates the edge
+                    # pixel — phantom band values at FOV/window borders
+                    # (see ops/tsdf_stream.py band support comment).
+                    supp = (
+                        (uw >= 0.0)
+                        & (uw <= float(WIN_U - 1))
+                        & (vw >= 0.0)
+                        & (vw <= float(n_rows - 1))
+                    )
                     d_rows = []
                     den_rows = []
                     for iy in range(8):
@@ -290,7 +302,7 @@ def _kernel(
                     num = jnp.concatenate(d_rows, axis=0)  # (8, Z)
                     den = jnp.concatenate(den_rows, axis=0)
                     d = num / jnp.maximum(den, 1e-12)
-                    return d, den > 1e-6
+                    return d, supp & (den > 1e-6)
 
                 update_tiles(zchunk, zc_f, get_depth_tile)
 
@@ -334,14 +346,18 @@ def _kernel(
 
 def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
     """Pad rows to a multiple of ``rows_mult`` and columns to ``cols_to``
-    (zeros = invalid depth)."""
+    (zeros = invalid depth) with the last REAL row/col replicated once
+    into the padding — bilinear footprints at the image's last row/col
+    extend one sample past the real grid (see
+    ops/tsdf_stream._pad_to)."""
     h, w = m.shape
-    hp = max(-(-h // rows_mult) * rows_mult, WIN_V)
-    wp = max(cols_to, WIN_U)
-    if (hp, wp) == (h, w):
-        return m
+    hp = max(-(-(h + 1) // rows_mult) * rows_mult, WIN_V)
+    wp = max(cols_to, -(-(w + 1) // 128) * 128, WIN_U)
     out = jnp.zeros((hp, wp), jnp.float32)
-    return out.at[:h, :w].set(m)
+    out = out.at[:h, :w].set(m)
+    out = out.at[h, :w].set(m[h - 1])
+    out = out.at[:h, w].set(m[:, w - 1])
+    return out.at[h, w].set(m[h - 1, w - 1])
 
 
 def _build_mips(depth: jnp.ndarray):
@@ -357,6 +373,9 @@ def _build_mips(depth: jnp.ndarray):
 
     h3, w3 = d3.shape
     l3 = jnp.zeros((L3_V, L3_U), jnp.float32).at[:h3, :w3].set(d3)
+    l3 = l3.at[h3, :w3].set(d3[h3 - 1])
+    l3 = l3.at[:h3, w3].set(d3[:, w3 - 1])
+    l3 = l3.at[h3, w3].set(d3[h3 - 1, w3 - 1])
 
     h, wd = depth.shape
     blocks = depth[: h - h % 8, : wd - wd % 8].reshape(h // 8, 8, wd // 8, 8)

@@ -428,6 +428,24 @@ def _process_half(
             )  # (nrows, Z)
             return wc, wr
 
+        def support(uf, vf):
+            """(8, Z) True where the FULL bilinear footprint lies inside
+            the window. A projection even half a pixel past the window
+            edge gets partial hat-weight sums — its depth reads low by
+            up to 2x and writes a PHANTOM negative band at FOV/window
+            borders (measured: ~5K boundary voxels flipped sign vs the
+            exact XLA integrate, rendering wrong surface at the image
+            top). Window origins carry >= 1 px of margin around the
+            updatable bbox, so true in-budget voxels keep support."""
+            uw = uf / scale - u0f
+            vw = vf / scale - v0f
+            return (
+                (uw >= 0.0)
+                & (uw <= float(win_u - 1))
+                & (vw >= 0.0)
+                & (vw <= float(nrows - 1))
+            )
+
         all_valid = jnp.min(window) > 0.0
 
         @pl.when(all_valid)
@@ -446,10 +464,7 @@ def _process_half(
                         jnp.sum(t2 * wr, axis=0).reshape(1, CHUNK_Z)
                     )
                 d = jnp.concatenate(d_rows, axis=0)
-                # Coverage: interpolation support must lie inside the
-                # window for the weights to sum to 1.
-                has = jnp.full((8, CHUNK_Z), True)
-                return d, has
+                return d, support(uf, vf)
 
             update_tiles(get_depth_tile)
 
@@ -478,7 +493,7 @@ def _process_half(
                 num = jnp.concatenate(d_rows, axis=0)
                 den = jnp.concatenate(den_rows, axis=0)
                 d = num / jnp.maximum(den, 1e-12)
-                return d, den > 1e-6
+                return d, support(uf, vf) & (den > 1e-6)
 
             update_tiles(get_depth_tile)
 
@@ -894,13 +909,24 @@ def _free_kernel(
 
 
 def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
+    """Zero-pad to aligned dims with the last REAL row/col REPLICATED
+    once into the padding. A bilinear footprint at the image's last
+    row/col extends one sample past the mip's real grid; with zero
+    padding those windows either lose the sample (no update: a band of
+    unobserved voxels along the image border) or renormalize against
+    the edge pixel asymmetrically. Replication makes the border lookup
+    nearest-row/col extrapolation — exact on the border pixel itself,
+    sub-mm on smooth surfaces — and keeps border windows on the
+    all-valid fast path. Dims are padded from h+1/w+1 so the replica
+    always fits; ops/chunk_select.py mirrors the same formulas."""
     h, w = m.shape
-    hp = max(-(-h // rows_mult) * rows_mult, WIN_V)
-    wp = max(cols_to, WIN_U)
-    if (hp, wp) == (h, w):
-        return m
+    hp = max(-(-(h + 1) // rows_mult) * rows_mult, WIN_V)
+    wp = max(cols_to, -(-(w + 1) // 128) * 128, WIN_U)
     out = jnp.zeros((hp, wp), jnp.float32)
-    return out.at[:h, :w].set(m)
+    out = out.at[:h, :w].set(m)
+    out = out.at[h, :w].set(m[h - 1])
+    out = out.at[:h, w].set(m[:, w - 1])
+    return out.at[h, w].set(m[h - 1, w - 1])
 
 
 def _shift64(m: jnp.ndarray) -> jnp.ndarray:
@@ -925,6 +951,9 @@ def build_depth_mips(depth: jnp.ndarray):
     m2 = _pad_to(d2, 8, -(-d2.shape[1] // 128) * 128)
     h3, w3 = d3.shape
     l3 = jnp.zeros((L3_V, L3_U), jnp.float32).at[:h3, :w3].set(d3)
+    l3 = l3.at[h3, :w3].set(d3[h3 - 1])
+    l3 = l3.at[:h3, w3].set(d3[:, w3 - 1])
+    l3 = l3.at[h3, w3].set(d3[h3 - 1, w3 - 1])
     return m0, m1, m2, _shift64(m0), _shift64(m1), _shift64(m2), l3
 
 
