@@ -127,6 +127,10 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "fps",
                 "vs_baseline": round(fps / 60.0, 4),
+                # Tracking quality rides along (gated above): total pose
+                # error vs ground truth after the sustained orbit.
+                "pose_err_mm": round(pose_err_mm, 2),
+                "frames": n_frames,
             }
         )
     )
