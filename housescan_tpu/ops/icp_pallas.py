@@ -89,8 +89,6 @@ def _kernel(
     # count (the collapse reference), flags[0, 5] the iteration until
     # which the loose gate stays active.
     corr_frac = params[25]
-    widen_until = flags[0, 5].astype(jnp.int32)
-    dist2 = jnp.where(it < widen_until, params[17], params[24])
 
     @pl.when((it == 0) & (band == 0))
     def _init():
@@ -103,6 +101,11 @@ def _kernel(
         flags[0, 4] = 0.0
         flags[0, 5] = 0.0
 
+    # Read scratch state only AFTER _init: SMEM scratch is UNDEFINED at
+    # the first grid step on hardware (interpret mode zero-fills, which
+    # would mask a garbage read here).
+    widen_until = flags[0, 5].astype(jnp.int32)
+    dist2 = jnp.where(it < widen_until, params[17], params[24])
     converged = flags[0, 0] > 0.5
 
     @pl.when((band == 0) & ~converged)
