@@ -120,12 +120,12 @@ def main() -> None:
         if i > 0 and model is not None:
             pyr = build_pyramid(jnp.asarray(frames[i]), intr, levels=3)
             model_pyr = mp.build_map_pyramid(model, 3)
+            # Mirror kinfu_step's production gates unless overridden.
+            tight = args.dist or max(0.5 * 3.0 / args.res, 0.006)
             icp = icp_track(list(pyr.maps), model_pyr, model_pose, intr,
                             iterations=(10, 5, 4), use_pallas=True,
-                            dist_threshold=(
-                                (0.015, 0.05, 0.10) if args.dist is None
-                                else (args.dist, 0.05, 0.10)),
-                            tight_threshold=args.dist or 0.015,
+                            dist_threshold=(tight, 0.05, 0.10),
+                            tight_threshold=tight,
                             interpret=interpret)
             e = perr(icp.pose, i)
             errs.append(e)
