@@ -17,7 +17,6 @@ linearization.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Sequence, Tuple
 
 import jax

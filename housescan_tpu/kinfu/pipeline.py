@@ -15,10 +15,9 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from housescan_tpu.config import Config
 from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
-from housescan_tpu.kinfu.icp import IcpResult, icp_track
+from housescan_tpu.kinfu.icp import icp_track
 from housescan_tpu.kinfu.preprocess import build_pyramid
 from housescan_tpu.kinfu.raycast import raycast
 from housescan_tpu.kinfu.tsdf import TsdfVolume, tsdf_integrate, tsdf_new

@@ -31,7 +31,6 @@ KinFu's CUDA raycast (ref README.md:14).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
