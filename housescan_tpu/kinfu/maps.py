@@ -71,7 +71,10 @@ def halve_maps(m: jnp.ndarray) -> jnp.ndarray:
     produce bit-identical results).
     """
     if jax.default_backend() == "cpu":
-        return m[:, ::2, ::2]
+        # Slice to floor(n/2) so odd dims agree with the one-hot branch
+        # below (plain ::2 would yield ceil(n/2) rows/cols).
+        c, h, w = m.shape
+        return m[:, : 2 * (h // 2) : 2, : 2 * (w // 2) : 2]
     c, h, w = m.shape
     sel_h = _half_selector(h, m.dtype)  # (h/2, h)
     sel_w = _half_selector(w, m.dtype)  # (w/2, w)

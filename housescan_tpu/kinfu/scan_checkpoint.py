@@ -134,13 +134,35 @@ def load_scan_state(
                     f"scan checkpoint intrinsics {got} do not match the "
                     f"stream's {want}"
                 )
+        version = manifest["schema_version"]
+        # Structural validation for every version: v4 gets the exact
+        # fingerprint check below; v1-v3 predate the fingerprint, so a
+        # stale or layout-divergent file is caught by verifying the
+        # arrays that version's layout must contain before migrating.
+        required = [
+            "volume_data", "volume_origin", "volume_voxel_size",
+            "volume_trunc", "planes", "pose", "model_pose",
+            "state_frame_index", "last_rmse", "last_corr",
+        ]
+        required += (
+            ["model_maps"]
+            if version >= 3
+            else ["model_vertices", "model_normals", "model_valid"]
+        )
+        if version >= 2:
+            required.append("trajectory")
+        missing = [k for k in required if k not in z.files]
+        if missing:
+            raise ValueError(
+                f"v{version} scan checkpoint is missing arrays {missing} "
+                "(stale or layout-divergent file; refusing unsafe resume)"
+            )
         vol = TsdfVolume(
             data=jnp.asarray(z["volume_data"]),
             origin=jnp.asarray(z["volume_origin"]),
             voxel_size=jnp.asarray(z["volume_voxel_size"]),
             trunc=jnp.asarray(z["volume_trunc"]),
         )
-        version = manifest["schema_version"]
         if version >= 3:
             model_maps = jnp.asarray(z["model_maps"])
         else:

@@ -231,6 +231,20 @@ def build_worklist(
         dims = (resolution, resolution, resolution)
     else:
         dims = tuple(int(d) for d in resolution)
+    # Descriptor budget: the 14-bit half descriptor stores v0/8 in 6
+    # bits (max 504) and u0/64 in 4 bits (max 960). v0/u0 are clipped
+    # to padded-mip-0-dim - WIN, so images beyond 640x480-class cameras
+    # would silently wrap the fields and integrate the wrong depth
+    # windows. Refuse loudly instead.
+    _pad_h = max(-(-(intr.height + 1) // 8) * 8, WIN_V)
+    _pad_w = max(-(-(intr.width + 1) // 128) * 128, WIN_U)
+    if _pad_h - WIN_V > 63 * 8 or _pad_w - WIN_U > 15 * 64:
+        raise ValueError(
+            f"depth image {intr.width}x{intr.height} exceeds the packed "
+            f"work-list descriptor budget (max ~{15 * 64 + WIN_U - 2}x"
+            f"{63 * 8 + WIN_V - 2} after mip padding); use the XLA "
+            "integrate path for oversized images"
+        )
     nbx_x = dims[0] // 8
     nbx_y = dims[1] // 8
     nzc = dims[2] // 128

@@ -57,7 +57,10 @@ def render_scene(
         # NaN/inf points (e.g. invalid-marked cloud rows) must not reach
         # the int cast: comparisons with NaN are already False, but the
         # cast itself would warn and produce garbage indices.
+        # In-frame cull: splat() clips coordinates, so without this an
+        # off-screen point would smear along the image border.
         ok &= np.isfinite(u) & np.isfinite(v)
+        ok &= (u >= 0) & (u < w) & (v >= 0) & (v < h)
         u = np.where(ok, u, 0.0)
         v = np.where(ok, v, 0.0)
         z = np.where(np.isfinite(z), z, np.inf)
