@@ -27,6 +27,10 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    from housescan_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from housescan_tpu.kinfu.camera import Intrinsics
     from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
     from housescan_tpu.kinfu.synthetic import (

@@ -48,24 +48,88 @@ class DeviceNotFound(RuntimeError):
 
 
 class OpenNIDevice:
-    """Real-camera binding: probes for an OpenNI2 Python stack.
+    """Real-camera binding over the OpenNI2 Python stack.
 
-    This image has no camera and no OpenNI runtime, so ``open()``
-    raises DeviceNotFound; the class documents the seam where a real
-    backend plugs in (create -> start -> read_frame loop, mirroring
-    ref HoniHelper.hs:20-42)."""
+    The reference's capture path (ref HoniHelper.hs:20-42): initialize
+    -> open the first device -> create a depth stream -> start ->
+    streamReadFrame yielding a Word16 buffer plus (width, height) from
+    the stream's video mode. This class is that loop behind the
+    DepthDevice interface: ``open()`` binds (raising DeviceNotFound if
+    no OpenNI2 runtime imports or no camera answers — fail-soft like
+    ref Main.hs:1288-1289), then ``start()`` / ``read_frame()`` /
+    ``stop()`` serve uint16-mm wire frames.
+
+    Intrinsics: focal lengths scale from the config's calibration by
+    the stream's actual width (the reference hard-coded an ad-hoc scale
+    and TODO'd real intrinsics, ref Main.hs:1307-1313; Kinect-class
+    cameras share the 525 px @ 640 wide calibration)."""
+
+    def __init__(self, openni2_mod, stream, intrinsics: Intrinsics,
+                 fps: float, depth_scale: float = DEFAULT_DEPTH_SCALE):
+        self._openni2 = openni2_mod
+        self._stream = stream
+        self.intrinsics = intrinsics
+        self.fps = fps
+        self.depth_scale = depth_scale
+        self._started = False
+        self._t0 = None
 
     @classmethod
     def open(cls, config: Optional[CameraConfig] = None) -> "OpenNIDevice":
-        try:  # pragma: no cover - requires a physical camera stack
+        try:
             from openni import openni2  # type: ignore
         except ImportError as e:
             raise DeviceNotFound(
                 "no OpenNI2 runtime importable (and no camera attached)"
             ) from e
-        raise DeviceNotFound(
-            "OpenNI2 importable but device binding untested in this build"
-        )  # pragma: no cover
+        try:
+            openni2.initialize()
+            dev = openni2.Device.open_any()
+            stream = dev.create_depth_stream()
+            mode = stream.get_video_mode()
+        except Exception as e:  # no camera / driver refuses: fail soft
+            raise DeviceNotFound(
+                f"OpenNI2 importable but no depth device binds: {e}"
+            ) from e
+        w = int(mode.resolutionX)
+        h = int(mode.resolutionY)
+        fps = float(mode.fps) if getattr(mode, "fps", 0) else 30.0
+        cfg = config or CameraConfig()
+        s = w / cfg.width
+        intr = Intrinsics(
+            width=w, height=h, fx=cfg.fx * s, fy=cfg.fy * s,
+            cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+        )
+        return cls(openni2, stream, intr, fps, cfg.depth_scale)
+
+    def start(self):
+        self._stream.start()
+        self._t0 = time.monotonic()
+        self._started = True
+
+    def read_frame(self) -> Optional[Tuple[np.ndarray, float]]:
+        """(uint16 mm frame, device timestamp seconds) or None when the
+        stream dies (unplugged camera ends the source, not the scan)."""
+        assert self._started, "start() the device first"
+        try:
+            frame = self._stream.read_frame()
+            buf = frame.get_buffer_as_uint16()
+        except Exception:
+            return None
+        arr = np.frombuffer(buf, dtype=np.uint16).reshape(
+            self.intrinsics.height, self.intrinsics.width
+        ).copy()  # the driver recycles its buffer; detach before queueing
+        # OpenNI timestamps are microseconds from stream start.
+        ts_us = getattr(frame, "timestamp", 0)
+        ts = ts_us / 1e6 if ts_us else time.monotonic() - self._t0
+        return arr, ts
+
+    def stop(self):
+        self._started = False
+        try:
+            self._stream.stop()
+        except Exception:
+            pass
 
 
 class FakeDevice:

@@ -477,6 +477,14 @@ def cmd_demo(args):
 
 
 def main(argv=None):
+    from housescan_tpu.config import enable_compilation_cache
+
+    # Persistent XLA compilation cache: the interactive scan workflow
+    # pays ~40 s of first-compile otherwise (ref's GLUT loop was
+    # instant-feedback, Main.hs:877-898). HOUSESCAN_COMPILE_CACHE=off
+    # disables.
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser(
         prog="housescan-tpu",
         description="TPU-native building-scale interior reconstruction",

@@ -142,6 +142,41 @@ class Config:
         return cls(**kwargs)
 
 
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Point JAX's persistent compilation cache at a local directory.
+
+    First-compile cost on the real chip is ~40 s for the fused scan step
+    (BENCH_r01 tail) — hostile to the interactive scan workflow the
+    reference's instant-feedback GLUT loop had (ref Main.hs:877-898).
+    With the cache on, the second process start loads the executable
+    from disk in seconds.
+
+    Resolution order: explicit arg > $HOUSESCAN_COMPILE_CACHE >
+    ``~/.cache/housescan_tpu/xla_cache``. Set
+    ``HOUSESCAN_COMPILE_CACHE=off`` to disable. Best-effort: returns the
+    directory on success, None if the backend/config rejects it.
+    """
+    import os
+
+    env = os.environ.get("HOUSESCAN_COMPILE_CACHE", "")
+    if env.lower() in ("off", "0", "none"):
+        return None
+    path = cache_dir or env or os.path.expanduser("~/.cache/housescan_tpu/xla_cache")
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        # Cache every program: the scan path is dominated by a handful of
+        # big programs, but tiny helper programs recompile on each CLI
+        # invocation too.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        return None
+    return str(path)
+
+
 _SUBCONFIGS = {
     "rooms": RoomsConfig,
     "cuboid": CuboidFitConfig,

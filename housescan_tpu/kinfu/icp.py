@@ -66,6 +66,7 @@ def _associate(
     u: jnp.ndarray,  # float projected column
     v: jnp.ndarray,  # float projected row
     window: int,
+    row0=0,  # global row index of this map's first row (sharded slabs)
 ):
     """LINEARIZED projective association WITHOUT a gather.
 
@@ -89,7 +90,7 @@ def _associate(
     """
     h, w = u.shape
     gate = 1.5 if window == 0 else float(window)
-    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(u.dtype)
+    py = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(u.dtype) + row0
     px = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(u.dtype)
     du = u - px
     dv = v - py
@@ -157,7 +158,7 @@ def _twist_to_proj(x: jnp.ndarray) -> jnp.ndarray:
     return m
 
 
-def _icp_level_iteration(
+def _normal_equations(
     pose: jnp.ndarray,
     live_vertices: jnp.ndarray,  # (H, W, 3) camera frame
     live_normals: jnp.ndarray,  # (H, W, 3) camera frame
@@ -167,11 +168,22 @@ def _icp_level_iteration(
     model_grads,  # (gu, gv) from _model_gradients
     prev_pose: jnp.ndarray,
     intr: Intrinsics,
-    dist_threshold: float,
+    dist_threshold,
     angle_threshold: float,
     window: int = 0,
-    damping: float = 3e-4,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    row0=0,
+):
+    """One GN iteration's 6x6 normal equations (association + gates +
+    robust weighting + MXU reduction), WITHOUT the solve.
+
+    Shared verbatim by the single-chip level iteration below and the
+    row-sharded psum'd variant (parallel/sharded.py
+    fine_normal_equations): both paths therefore apply identical
+    correspondence gates and weighting — one quality story. ``row0`` is
+    the global image row of the map's first row, nonzero when the caller
+    passes a row-sharded slab. Returns (a, b, n_corr, sq) where sq is
+    the weighted squared-residual sum feeding the RMSE.
+    """
     rot = pose[:3, :3]
     t = pose[3, :3]
     v_w = live_vertices @ rot + t
@@ -200,7 +212,8 @@ def _icp_level_iteration(
     )
 
     m_v, m_n, m_ok = _associate(
-        model_vertices, model_normals, model_valid, model_grads, u, v, window
+        model_vertices, model_normals, model_valid, model_grads, u, v, window,
+        row0=row0,
     )
 
     diff = v_w - m_v
@@ -234,6 +247,40 @@ def _icp_level_iteration(
     # The 6x6 reduction on the MXU with f32 accumulation.
     a = jnp.matmul(gw.T, gw, precision="highest")
     b = jnp.matmul(gw.T, rw, precision="highest")
+    n_corr = jnp.sum(corr)
+    sq = jnp.sum((r * w) ** 2)
+    return a, b, n_corr, sq
+
+
+def _icp_level_iteration(
+    pose: jnp.ndarray,
+    live_vertices: jnp.ndarray,  # (H, W, 3) camera frame
+    live_normals: jnp.ndarray,  # (H, W, 3) camera frame
+    model_vertices: jnp.ndarray,  # (Hm, Wm, 3) world frame
+    model_normals: jnp.ndarray,  # (Hm, Wm, 3) world frame
+    model_valid: jnp.ndarray,  # (Hm, Wm)
+    model_grads,  # (gu, gv) from _model_gradients
+    prev_pose: jnp.ndarray,
+    intr: Intrinsics,
+    dist_threshold: float,
+    angle_threshold: float,
+    window: int = 0,
+    damping: float = 3e-4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    a, b, n_corr, sq = _normal_equations(
+        pose,
+        live_vertices,
+        live_normals,
+        model_vertices,
+        model_normals,
+        model_valid,
+        model_grads,
+        prev_pose,
+        intr,
+        dist_threshold,
+        angle_threshold,
+        window=window,
+    )
 
     if jax.default_backend() == "cpu":
         x, ok = _solve_increment(a, b, damping=damping)
@@ -249,8 +296,6 @@ def _icp_level_iteration(
 
         new_pose, step_norm = solve_twist_compose(pose, a, b, damping=damping)
 
-    n_corr = jnp.sum(corr)
-    sq = jnp.sum((r * w) ** 2)
     rmse = jnp.sqrt(sq / jnp.maximum(n_corr, 1))
     return new_pose, rmse, n_corr, step_norm
 

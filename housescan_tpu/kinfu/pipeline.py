@@ -150,9 +150,15 @@ def kinfu_step(
     max_raycast_steps: int = 256,
     use_pallas: bool = False,
     interpret: bool = False,
+    forced_pose: jnp.ndarray = None,
 ) -> KinFuState:
     """Track and fuse one depth frame (the benchmark unit of BASELINE.json:
-    'depth frames/sec TSDF integrate+ICP at 512^3')."""
+    'depth frames/sec TSDF integrate+ICP at 512^3').
+
+    ``forced_pose`` fuses the frame at an externally-known camera pose
+    (offline-refined trajectory, a rig encoder, or synthetic ground
+    truth) instead of tracking — ICP is skipped entirely and the frame
+    always integrates."""
     pyr = build_pyramid(raw_depth, intr, levels=levels)
 
     # Model pyramid from the stored full-res raycast maps: exact point
@@ -187,21 +193,28 @@ def kinfu_step(
         dist_threshold = (tight, 0.05, 0.10)
 
     init_pose = state.model_pose
-    icp = icp_track(
-        list(pyr.maps),
-        model_pyr,
-        state.model_pose,
-        intr,
-        iterations=iterations,
-        dist_threshold=dist_threshold,
-        angle_threshold=angle_threshold,
-        init_pose=init_pose,
-        use_pallas=use_pallas,
-        interpret=interpret,
-        tight_threshold=tight,
-    )
-    # Frame 0 has no model yet: keep the initial pose.
-    new_pose = jnp.where(is_first, state.pose, icp.pose)
+    if forced_pose is None:
+        icp = icp_track(
+            list(pyr.maps),
+            model_pyr,
+            state.model_pose,
+            intr,
+            iterations=iterations,
+            dist_threshold=dist_threshold,
+            angle_threshold=angle_threshold,
+            init_pose=init_pose,
+            use_pallas=use_pallas,
+            interpret=interpret,
+            tight_threshold=tight,
+        )
+        # Frame 0 has no model yet: keep the initial pose.
+        new_pose = jnp.where(is_first, state.pose, icp.pose)
+        icp_rmse = icp.rmse
+        icp_corr = icp.n_corr
+    else:
+        new_pose = jnp.asarray(forced_pose, jnp.float32)
+        icp_rmse = jnp.asarray(0.0, jnp.float32)
+        icp_corr = jnp.asarray(0, jnp.int32)
 
     # TRACKING-LOSS gate (KinFuState.last_tracked): if the adaptive ICP
     # still ends with a collapsed correspondence set, the pose is
@@ -217,7 +230,10 @@ def kinfu_step(
     # integrating at the carried pose instead of stalling the map.
     min_corr = max(32, int(0.002 * intr.width * intr.height))
     model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
-    tracked = is_first | (icp.n_corr >= min_corr) | (model_px < 4 * min_corr)
+    if forced_pose is None:
+        tracked = is_first | (icp_corr >= min_corr) | (model_px < 4 * min_corr)
+    else:
+        tracked = jnp.asarray(True)  # known pose: always fuse
     new_pose = jnp.where(tracked, new_pose, state.pose)
     depth_eff = jnp.where(tracked, raw_depth, jnp.zeros_like(raw_depth))
 
@@ -256,8 +272,8 @@ def kinfu_step(
         model_maps=model_maps,
         model_pose=jnp.where(tracked, new_pose, state.model_pose),
         frame_index=state.frame_index + 1,
-        last_rmse=jnp.where(is_first, 0.0, icp.rmse),
-        last_corr=jnp.where(is_first, 0, icp.n_corr),
+        last_rmse=jnp.where(is_first, 0.0, icp_rmse),
+        last_corr=jnp.where(is_first, 0, icp_corr),
         last_tracked=tracked,
     )
 

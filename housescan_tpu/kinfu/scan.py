@@ -47,6 +47,7 @@ def scan_to_room_dir(
     checkpoint_every: int = 0,
     checkpoint_path: Optional[Union[str, Path]] = None,
     resume: bool = False,
+    known_poses: Optional[np.ndarray] = None,
 ) -> Path:
     """Fuse a depth stream and write the room directory. Returns out_dir.
 
@@ -54,6 +55,11 @@ def scan_to_room_dir(
     fusion state) every N frames to ``checkpoint_path`` (default
     ``<out_dir>/scan_checkpoint.npz``); ``resume=True`` continues from
     it, skipping already-fused frames (kinfu/scan_checkpoint.py).
+
+    ``known_poses`` ((N, 4, 4) camera-to-world) fuses each frame at its
+    externally-known pose instead of tracking (offline-refined
+    trajectories, rig encoders, synthetic ground truth) — the camera may
+    then move arbitrarily fast between frames.
     """
     config = config or Config()
     intr = stream.intrinsics
@@ -103,6 +109,9 @@ def scan_to_room_dir(
             max_weight=tsdf_cfg.max_weight,
             z_min=config.camera.z_min,
             use_pallas=use_pallas,
+            forced_pose=(
+                None if known_poses is None else jnp.asarray(known_poses[k])
+            ),
         )
         poses.append(np.asarray(state.pose))
         if not bool(state.last_tracked):

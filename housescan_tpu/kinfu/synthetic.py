@@ -77,8 +77,10 @@ def orbit_poses(
     """(N, 4, 4) camera-to-world poses orbiting inside the room, yawing to
     sweep the walls (a Kinect-operator-in-the-room trajectory).
 
-    ``pitch`` > 0 tilts the camera down (toward world +y, the floor side),
-    putting floor/wall junctions in view — richer ICP constraints."""
+    ``pitch`` > 0 tilts the camera toward world -y (the CEILING side of
+    the furnished_room scene — its floor is at +y), putting ceiling/wall
+    junctions in view — richer ICP constraints. Use pitch < 0 to sweep
+    the floor."""
     rng = np.random.default_rng(seed)
     poses = []
     for k in range(n_frames):

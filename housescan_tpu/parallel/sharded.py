@@ -32,6 +32,8 @@ from jax import shard_map
 from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.icp import (
+    _model_gradients,
+    _normal_equations,
     _solve_increment,
     _twist_to_proj,
     icp_track,
@@ -304,39 +306,44 @@ def make_sharded_step(
         return verts, valid, depth_out
 
     # --- ICP fine level: rows sharded, psum'd normal equations ---------
+    # The per-shard math is kinfu/icp.py's _normal_equations — the SAME
+    # function the single-chip tracker runs per GN iteration (projective
+    # association into the previous camera, linearized sub-pixel lookup,
+    # distance/angle gates, Huber + incidence weighting) — applied to a
+    # row-slab with a global row offset, then psum'd into the global 6x6
+    # system. One quality story across single-chip, Pallas-sharded and
+    # XLA-sharded paths.
     @partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None, None),
-            P(axis, None),
-            P(),
-            P(),
+            P(axis, None, None),  # live vertices (rows sharded)
+            P(axis, None, None),  # live normals
+            P(axis, None, None),  # model vertices
+            P(axis, None, None),  # model normals
+            P(axis, None),  # model valid
+            P(axis, None, None),  # model grad u
+            P(axis, None, None),  # model grad v
+            P(),  # pose
+            P(),  # prev pose (association camera)
+            P(),  # distance gate (traced scalar)
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
     )
-    def fine_normal_equations(lv, ln, mv, mn, mok, pose, prev_pose):
-        rot = pose[:3, :3]
-        t = pose[3, :3]
-        v_w = lv @ rot + t
-        n_w = ln @ rot
-        live_valid = (lv[..., 2] > 0) & (jnp.sum(ln * ln, axis=-1) > 0.25)
-        diff = v_w - mv
-        dist_ok = jnp.sum(diff * diff, axis=-1) < 0.01
-        cross = jnp.cross(n_w, mn)
-        angle_ok = jnp.sum(cross * cross, axis=-1) < 0.25
-        corr = live_valid & mok & dist_ok & angle_ok
-        g = jnp.concatenate([jnp.cross(v_w, mn), mn], axis=-1)
-        r = jnp.sum(mn * (mv - v_w), axis=-1)
-        w = corr.astype(jnp.float32)
-        gw = (g * w[..., None]).reshape(-1, 6)
-        rw = (r * w).reshape(-1)
-        a = jnp.matmul(gw.T, gw, precision="highest")
-        b = jnp.matmul(gw.T, rw, precision="highest")
-        return jax.lax.psum(a, axis), jax.lax.psum(b, axis)
+    def fine_normal_equations(lv, ln, mv, mn, mok, gu, gv, pose, prev_pose, dist):
+        idx = jax.lax.axis_index(axis)
+        row0 = idx * lv.shape[0]
+        a, b, n_corr, sq = _normal_equations(
+            pose, lv, ln, mv, mn, mok, (gu, gv), prev_pose, intr,
+            dist, 0.5236, window=0, row0=row0,
+        )
+        return (
+            jax.lax.psum(a, axis),
+            jax.lax.psum(b, axis),
+            jax.lax.psum(n_corr, axis),
+            jax.lax.psum(sq, axis),
+        )
 
     @jax.jit
     def step(state: ShardedKinFuState, raw_depth: jnp.ndarray) -> ShardedKinFuState:
@@ -373,6 +380,13 @@ def make_sharded_step(
             pose = icp.pose
             icp_corr = icp.n_corr
         else:
+            # XLA path (volumes that don't tile (8, 8, 128)): the SAME
+            # quality machinery as the single-chip tracker — the
+            # voxel-scaled tight gate at every level (kinfu/pipeline.py
+            # 0.5-voxel formula), adaptive widening to the loose
+            # per-level gates on correspondence collapse, and the
+            # tracking-loss frame drop below.
+            tight = jnp.maximum(0.5 * state.volume.voxel_size, 0.006)
             # Coarse levels replicated (small images).
             coarse = icp_track(
                 list(pyr.maps),
@@ -380,40 +394,46 @@ def make_sharded_step(
                 state.pose,
                 intr,
                 iterations=(0,) + tuple(iterations[1:]),
+                dist_threshold=(tight, 0.05, 0.10),
+                tight_threshold=tight,
             )
             pose = coarse.pose
 
-            # Fine level: sharded psum'd Gauss-Newton iterations
-            # (interleaved maps, unpacked off the hot path).
+            # Fine level: sharded psum'd Gauss-Newton iterations via the
+            # shared _normal_equations (the finest level's loose gate IS
+            # the tight gate — kinfu_step's dist_threshold[0] — so the
+            # gate here is unconditionally tight; adaptive widening only
+            # ever applies at the coarse levels handled above).
             lv0, ln0 = mp.live_to_hwc(pyr.maps[0])
             mv0, mn0, mok0, _ = mp.model_to_hwc(model_pyr[0])
+            gu0, gv0 = _model_gradients(mv0, mok0)
+            icp_corr = jnp.asarray(0, jnp.int32)
             for _ in range(iterations[0]):
-                a, b = fine_normal_equations(
-                    lv0, ln0, mv0, mn0, mok0, pose, state.pose,
+                a, b, nc, _sq = fine_normal_equations(
+                    lv0, ln0, mv0, mn0, mok0, gu0, gv0, pose, state.pose,
+                    tight,
                 )
                 x, ok = _solve_increment(a, b)
                 pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
-            icp_corr = None
+                icp_corr = nc
 
         new_pose = jnp.where(is_first, state.pose, pose)
 
         # Tracking-loss gate mirroring kinfu_step exactly (drop the
         # frame: previous pose, all-invalid depth -> no-op integrate;
-        # sparse-model frames are growth phase, not loss).
-        if icp_corr is not None:
-            min_corr = max(32, int(0.002 * intr.width * intr.height))
-            model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
-            tracked = (
-                is_first
-                | (icp_corr >= min_corr)
-                | (model_px < 4 * min_corr)
-            )
-            new_pose = jnp.where(tracked, new_pose, state.pose)
-            raw_depth = jnp.where(
-                tracked, raw_depth, jnp.zeros_like(raw_depth)
-            )
-        else:
-            tracked = jnp.asarray(True)
+        # sparse-model frames are growth phase, not loss). Applies to
+        # BOTH the Pallas and XLA paths.
+        min_corr = max(32, int(0.002 * intr.width * intr.height))
+        model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
+        tracked = (
+            is_first
+            | (icp_corr >= min_corr)
+            | (model_px < 4 * min_corr)
+        )
+        new_pose = jnp.where(tracked, new_pose, state.pose)
+        raw_depth = jnp.where(
+            tracked, raw_depth, jnp.zeros_like(raw_depth)
+        )
 
         vol = state.volume
         if use_pallas:

@@ -124,3 +124,130 @@ class TestScanLiveCli:
         assert (out / "planes.txt").exists()
         traj = np.load(out / "trajectory.npz")["poses"]
         assert 1 <= len(traj) <= 4
+
+
+class TestOpenNIBinding:
+    """The real-camera binding exercised through a faked ``openni``
+    module in sys.modules (no camera in this image): bind must succeed
+    and frames must flow through LiveSource; DeviceNotFound only when
+    the import fails or no device answers (ref HoniHelper.hs:20-42)."""
+
+    def _install_fake_openni(self, monkeypatch, frames_mm, w, h, fps=30.0,
+                             open_raises=None):
+        import sys
+        import types
+
+        class _Mode:
+            resolutionX = w
+            resolutionY = h
+
+            def __init__(self):
+                self.fps = fps
+
+        class _Frame:
+            def __init__(self, arr, i):
+                self._arr = arr
+                self.timestamp = int(i * 1e6 / fps)
+
+            def get_buffer_as_uint16(self):
+                return self._arr.tobytes()
+
+        class _Stream:
+            def __init__(self):
+                self._i = 0
+                self.started = False
+                self.stopped = False
+
+            def get_video_mode(self):
+                return _Mode()
+
+            def start(self):
+                self.started = True
+
+            def read_frame(self):
+                if self._i >= len(frames_mm):
+                    raise RuntimeError("stream ended")
+                f = _Frame(frames_mm[self._i], self._i)
+                self._i += 1
+                return f
+
+            def stop(self):
+                self.stopped = True
+
+        class _Device:
+            last_stream = None
+
+            @classmethod
+            def open_any(cls):
+                if open_raises is not None:
+                    raise open_raises
+                return cls()
+
+            def create_depth_stream(self):
+                _Device.last_stream = _Stream()
+                return _Device.last_stream
+
+        openni2 = types.SimpleNamespace(
+            initialize=lambda: None, Device=_Device
+        )
+        pkg = types.ModuleType("openni")
+        pkg.openni2 = openni2
+        monkeypatch.setitem(sys.modules, "openni", pkg)
+        monkeypatch.setitem(
+            sys.modules, "openni.openni2", types.ModuleType("openni.openni2")
+        )
+        return _Device
+
+    def test_bind_and_stream_through_live_source(self, monkeypatch):
+        from housescan_tpu.capture.live import OpenNIDevice
+
+        rng = np.random.default_rng(0)
+        frames_mm = (rng.uniform(400, 3000, size=(4, 120, 160))).astype(np.uint16)
+        dev_cls = self._install_fake_openni(monkeypatch, frames_mm, 160, 120)
+
+        dev = OpenNIDevice.open()
+        # video mode wins: intrinsics scale from the 640-wide calibration
+        assert (dev.intrinsics.width, dev.intrinsics.height) == (160, 120)
+        assert dev.intrinsics.fx == pytest.approx(525.0 * 160 / 640)
+        assert dev.fps == 30.0
+
+        src = LiveSource(dev)
+        got = 0
+        while (f := src.read()) is not None:
+            assert f.dtype == np.float32
+            got += 1
+        # latest-wins may drop intermediate frames but must deliver >=1
+        # and end cleanly when the stream dies.
+        assert 1 <= got <= len(frames_mm)
+        assert got + src.dropped == len(frames_mm)
+        src.stop()
+        assert dev_cls.last_stream.stopped
+
+    def test_wire_mm_to_meters(self, monkeypatch):
+        from housescan_tpu.capture.live import OpenNIDevice
+
+        frames_mm = np.full((1, 120, 160), 1500, np.uint16)
+        self._install_fake_openni(monkeypatch, frames_mm, 160, 120)
+        dev = OpenNIDevice.open()
+        dev.start()
+        frame, ts = dev.read_frame()
+        assert frame.dtype == np.uint16 and frame.shape == (120, 160)
+        assert float(frame[0, 0]) * dev.depth_scale == pytest.approx(1.5)
+        assert dev.read_frame() is not None or True  # second read ends stream
+
+    def test_no_device_answers(self, monkeypatch):
+        from housescan_tpu.capture.live import DeviceNotFound, OpenNIDevice
+
+        self._install_fake_openni(
+            monkeypatch, np.zeros((0, 1, 1), np.uint16), 160, 120,
+            open_raises=RuntimeError("no devices"),
+        )
+        with pytest.raises(DeviceNotFound, match="no depth device binds"):
+            OpenNIDevice.open()
+
+    def test_import_failure(self):
+        # no fake installed: the real import fails in this image
+        from housescan_tpu.capture.live import DeviceNotFound, OpenNIDevice
+
+        with pytest.raises(DeviceNotFound, match="no OpenNI2 runtime"):
+            OpenNIDevice.open()

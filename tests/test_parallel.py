@@ -78,37 +78,27 @@ class TestShardedFusion:
 
         assert float(jnp.mean(state.model_maps[mp.MD_VALID])) > 0.5
 
-    def test_pallas_sharded_orbit_parity_128(self, mesh):
-        """The PRODUCTION kernels inside shard_map (streaming work-list
-        integrate with persistent per-slab planes, plane-candidate
-        raycast with pmin/pmax combine) compute the SAME function as the
-        single-chip Pallas pipeline — verified one-step BIT-EXACTLY at
-        every frame of a 20-frame orbit at 128^3 on the 8-device mesh.
+    @pytest.fixture(scope="class")
+    def pallas_orbit(self, mesh):
+        """One 20-frame 128^3 orbit driving the PRODUCTION kernels inside
+        shard_map (streaming work-list integrate with persistent per-slab
+        planes, plane-candidate raycast with pmin/pmax combine) in two
+        modes simultaneously:
 
-        Teacher-forced design: each frame, the single-chip state is
-        mirrored into the sharded layout, both steps run on identical
-        inputs, and the outputs are compared. This is immune to the
-        chaotic feedback loop (any ulp seed grows exponentially through
-        tracking over 20 free-running frames) and is therefore a
-        STRONGER statement than trajectory-level closeness: the pose,
-        the packed volume, the persistent planes, the model vertices and
-        the valid mask must be bit-identical every frame.
+          * teacher-forced: each frame, the single-chip state is mirrored
+            into the sharded layout, both steps run on identical inputs,
+            and per-frame parity records are collected (immune to the
+            chaotic tracking feedback loop — a STRONGER per-step
+            statement than trajectory closeness);
+          * free-running: a second sharded state evolves purely from its
+            own outputs, exactly like a production multi-chip scan.
 
-        Model NORMALS get a small tolerance: candidate near-ties inside
-        the interpret-mode raycast kernel resolve by f32 comparisons
-        whose operands XLA:CPU fuses (FMA) differently in the two jit
-        programs, occasionally flipping which of two near-coplanar
-        planes wins a pixel. On hardware the kernel is one Mosaic
-        artifact with a fixed schedule, so this is an interpret-mode
-        artifact only. The world-coordinate arithmetic itself is
-        bit-identical by construction (global origin + block_x0, see
-        ops/tsdf_stream.py).
-
-        This is the evidence SURVEY.md section 7 step 6 calls for: the
-        multi-chip path runs the same kernels as the single-chip one.
+        Returns (records, final free-running pose, final single-chip
+        pose, ground-truth final pose).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from housescan_tpu.kinfu import maps as mp
         from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
         from housescan_tpu.parallel.mesh import VOLUME_AXIS
 
@@ -146,37 +136,96 @@ class TestShardedFusion:
                 frame_index=jnp.asarray(np.asarray(ref.frame_index)),
             )
 
+        free = sh0
+        records = []
         for k in range(n):
             d = jnp.asarray(frames[k])
             sh_out = step(resync(ref), d)
+            free = step(free, d)
             ref = kinfu_step(ref, d, INTR, use_pallas=True, interpret=True)
-            assert np.array_equal(
-                np.asarray(sh_out.pose), np.asarray(ref.pose)
-            ), f"frame {k}: pose not bit-exact"
-            assert bool(jnp.all(sh_out.volume.data == ref.volume.data)), (
-                f"frame {k}: volume not bit-exact"
-            )
-            assert bool(jnp.all(sh_out.planes == ref.planes)), (
-                f"frame {k}: planes not bit-exact"
-            )
-            from housescan_tpu.kinfu import maps as mp
-
             sh_m = np.asarray(sh_out.model_maps)
             ref_m = np.asarray(ref.model_maps)
-            assert np.array_equal(
-                sh_m[mp.MD_V], ref_m[mp.MD_V]
-            ), f"frame {k}: model vertices not bit-exact"
-            assert np.array_equal(
-                sh_m[mp.MD_VALID], ref_m[mp.MD_VALID]
-            ), f"frame {k}: valid mask not bit-exact"
             dn = np.abs(sh_m[mp.MD_N] - ref_m[mp.MD_N])
+            records.append(
+                dict(
+                    pose_equal=np.array_equal(
+                        np.asarray(sh_out.pose), np.asarray(ref.pose)
+                    ),
+                    vol_equal=bool(jnp.all(sh_out.volume.data == ref.volume.data)),
+                    planes_equal=bool(jnp.all(sh_out.planes == ref.planes)),
+                    mv_equal=np.array_equal(sh_m[mp.MD_V], ref_m[mp.MD_V]),
+                    valid_equal=np.array_equal(
+                        sh_m[mp.MD_VALID], ref_m[mp.MD_VALID]
+                    ),
+                    dn_max=float(dn.max()),
+                    n_flip=int((dn.max(axis=0) > 1e-4).sum()),
+                    px=dn.shape[1] * dn.shape[2],
+                )
+            )
+        return (
+            records,
+            np.asarray(free.pose),
+            np.asarray(ref.pose),
+            np.asarray(poses[n]),
+        )
+
+    def test_pallas_sharded_orbit_parity_128(self, pallas_orbit):
+        """Per-frame teacher-forced BIT-EXACT parity at every frame of
+        the 20-frame orbit: the pose, the packed volume, the persistent
+        planes, the model vertices and the valid mask must be
+        bit-identical between the 8-device sharded step and the
+        single-chip Pallas pipeline.
+
+        Model NORMALS get a small tolerance: candidate near-ties inside
+        the interpret-mode raycast kernel resolve by f32 comparisons
+        whose operands XLA:CPU fuses (FMA) differently in the two jit
+        programs, occasionally flipping which of two near-coplanar
+        planes wins a pixel. On hardware the kernel is one Mosaic
+        artifact with a fixed schedule, so this is an interpret-mode
+        artifact only. The world-coordinate arithmetic itself is
+        bit-identical by construction (global origin + block_x0, see
+        ops/tsdf_stream.py).
+
+        This is the evidence SURVEY.md section 7 step 6 calls for: the
+        multi-chip path runs the same kernels as the single-chip one.
+        """
+        records, _, _, _ = pallas_orbit
+        for k, r in enumerate(records):
+            assert r["pose_equal"], f"frame {k}: pose not bit-exact"
+            assert r["vol_equal"], f"frame {k}: volume not bit-exact"
+            assert r["planes_equal"], f"frame {k}: planes not bit-exact"
+            assert r["mv_equal"], f"frame {k}: model vertices not bit-exact"
+            assert r["valid_equal"], f"frame {k}: valid mask not bit-exact"
             # ulp-level rounding may touch many pixels; actual plane
             # flips (two near-coplanar candidates swapping) must stay
             # rare and small.
-            n_flip = int((dn.max(axis=0) > 1e-4).sum())
-            assert dn.max() < 5e-3 and n_flip < dn.shape[1] * dn.shape[2] // 100, (
-                f"frame {k}: normals diverged (max {dn.max():.2e}, {n_flip} px)"
+            assert r["dn_max"] < 5e-3 and r["n_flip"] < r["px"] // 100, (
+                f"frame {k}: normals diverged "
+                f"(max {r['dn_max']:.2e}, {r['n_flip']} px)"
             )
+
+    def test_pallas_sharded_free_running_orbit_128(self, pallas_orbit):
+        """FREE-RUNNING multi-chip tracking: the sharded state evolving
+        purely from its own outputs (no teacher forcing) holds the full
+        20-frame trajectory. Its final pose must agree with the
+        single-chip run's within the +-2 mm trajectory noise floor
+        between numerically-equivalent builds (the only divergence seed
+        is the interpret-mode normal near-tie noted in the parity test;
+        on hardware the paths are bit-identical)."""
+        _, free_pose, ref_pose, gt_pose = pallas_orbit
+        d_single = float(np.linalg.norm(free_pose[3, :3] - ref_pose[3, :3]))
+        assert d_single < 2e-3, (
+            f"free-running sharded pose diverged {d_single*1000:.2f} mm "
+            "from the single-chip trajectory"
+        )
+        # And both must actually track (no catastrophic loss): the
+        # measured single-chip closed-loop budget at this 160x120 /
+        # 128^3 testbed is ~26 mm over 20 frames (1.3 mm/frame —
+        # tracking quality scales with image resolution: 320x240 runs
+        # 0.063 mm/frame, scripts/drift_probe.py); 40 mm bounds it
+        # with headroom for run-to-run noise.
+        err_gt = float(np.linalg.norm(free_pose[3, :3] - gt_pose[3, :3]))
+        assert err_gt < 40e-3, f"free-running pose err vs gt {err_gt*1000:.2f} mm"
 
     def test_volume_is_actually_sharded(self, mesh, stream):
         poses, _ = stream
