@@ -41,11 +41,16 @@ from housescan_tpu.kinfu.scan import scan_to_room_dir, write_room_outputs
 
 @dataclass
 class RoomScan:
-    """One room's input to a building scan."""
+    """One room's input to a building scan.
+
+    ``known_poses`` fuses the room at externally-known camera poses
+    (kinfu/scan.py known_poses) instead of tracking — single-chip rooms
+    only."""
 
     name: str
     stream: DepthStream
     init_pose: Optional[np.ndarray] = None
+    known_poses: Optional[np.ndarray] = None
 
 
 def _scan_room_sharded(
@@ -56,15 +61,25 @@ def _scan_room_sharded(
     progress: bool = False,
     write_mesh: bool = False,
     interpret: bool = False,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> Path:
     """Fuse one room on the X-slab-sharded volume and write its room
     directory. The sharded state keeps the volume distributed across
-    the mesh for the whole stream; only the final surface extraction
-    gathers it to the host."""
+    the mesh for the whole stream; only the final surface extraction —
+    and the periodic mid-scan checkpoint — gathers it to the host.
+
+    ``checkpoint_every=N`` / ``resume`` give sharded rooms the SAME
+    frame-granular mid-room resume the single-chip loop has: every N
+    frames the slabs gather into the standard scan-checkpoint schema
+    (kinfu/scan_checkpoint.py), and a resumed run scatters it back
+    across the mesh and continues from the next unfused frame."""
     from housescan_tpu.kinfu.tsdf import TsdfVolume
     from housescan_tpu.parallel.sharded import (
         make_sharded_step,
         sharded_kinfu_init,
+        sharded_state_from_single,
+        single_state_from_sharded,
     )
 
     intr = room.stream.intrinsics
@@ -73,22 +88,48 @@ def _scan_room_sharded(
         tsdf_cfg.resolution % 128 == 0
         and (tsdf_cfg.resolution // 8) % mesh.devices.size == 0
     )
-    state = sharded_kinfu_init(
-        mesh,
-        intr,
-        resolution=tsdf_cfg.resolution,
-        size_m=tsdf_cfg.size_m,
-        trunc=tsdf_cfg.trunc_dist,
-        init_pose=None if room.init_pose is None else jnp.asarray(room.init_pose),
-        use_pallas=use_pallas,
-    )
+    ckpt = out_dir / "scan_checkpoint.npz"
+    start_frame = 0
+    poses: List[np.ndarray] = []
+    state = None
+    if resume and ckpt.exists():
+        from housescan_tpu.kinfu.scan_checkpoint import load_scan_state
+
+        kstate, start_frame, trajectory = load_scan_state(ckpt, intr)
+        poses = list(trajectory)
+        if len(poses) != start_frame:
+            raise ValueError(
+                f"scan checkpoint stores {len(poses)} poses but resumes "
+                f"at frame {start_frame}; refusing a misaligned trajectory"
+            )
+        state = sharded_state_from_single(mesh, kstate, use_pallas)
+        if progress:
+            print(f"  [{room.name}] resuming sharded scan at frame {start_frame}")
+    if state is None:
+        state = sharded_kinfu_init(
+            mesh,
+            intr,
+            resolution=tsdf_cfg.resolution,
+            size_m=tsdf_cfg.size_m,
+            trunc=tsdf_cfg.trunc_dist,
+            init_pose=None if room.init_pose is None else jnp.asarray(room.init_pose),
+            use_pallas=use_pallas,
+        )
     step = make_sharded_step(
         mesh, intr, use_pallas=use_pallas, interpret=interpret
     )
-    poses = []
     for k, frame in enumerate(room.stream):
+        if k < start_frame:
+            continue
         state = step(state, jnp.asarray(frame))
         poses.append(np.asarray(state.pose))
+        if checkpoint_every and (k + 1) % checkpoint_every == 0:
+            from housescan_tpu.kinfu.scan_checkpoint import save_scan_state
+
+            save_scan_state(
+                single_state_from_sharded(state), k + 1, intr, ckpt,
+                trajectory=np.stack(poses),
+            )
         if progress and k % 10 == 0:
             print(f"  [{room.name}] frame {k}/{len(room.stream)} (sharded)")
 
@@ -105,6 +146,20 @@ def _scan_room_sharded(
     )
 
 
+def cantor_slots(n: int) -> List[Tuple[int, int]]:
+    """First ``n`` 2-D grid slots in Cantor-diagonal order — the
+    reference's ``diagonalPairs`` room layout (ref Main.hs:2328-2331,
+    used by devSetup/houseSetup :2491, :2504): (0,0), (1,0), (0,1),
+    (2,0), (1,1), (0,2), ..."""
+    out: List[Tuple[int, int]] = []
+    d = 0
+    while len(out) < n:
+        for i in range(d + 1):
+            out.append((d - i, i))
+        d += 1
+    return out[:n]
+
+
 def scan_building(
     rooms: Sequence[RoomScan],
     out_dir: Union[str, Path],
@@ -117,20 +172,30 @@ def scan_building(
     write_mesh: bool = False,
     gap: float = 0.1,
     interpret: bool = False,
+    layout: str = "chain",
 ):
     """Scan every room, assemble, arrange, optimize, export.
 
     Returns ``(scene, fitted_rooms, out_dir)``. Rooms at/above
     ``sharded_min_resolution`` fuse on the sharded multi-chip volume
-    when ``mesh`` is given; smaller rooms use the single-chip pipeline
-    (whose mid-scan checkpoint gives frame-granular resume via
-    ``checkpoint_every``/``resume``). ``out_dir/building_checkpoint.json``
-    records finished rooms so a resumed building run skips them
-    entirely. ``gap`` is the wall-to-wall spacing used when chaining
-    rooms (ref Main.hs:2468: neighbouring rooms connected `opposite`)."""
+    when ``mesh`` is given; smaller rooms use the single-chip pipeline.
+    BOTH paths get frame-granular mid-room resume via
+    ``checkpoint_every``/``resume`` (the sharded loop gathers its slabs
+    into the same scan-checkpoint schema).
+    ``out_dir/building_checkpoint.json`` records finished rooms so a
+    resumed building run skips them entirely. ``gap`` is the
+    wall-to-wall spacing used when chaining rooms (ref Main.hs:2468:
+    neighbouring rooms connected `opposite`).
+
+    ``layout``: ``"chain"`` links rooms in one X line; ``"grid"``
+    places rooms on the reference's Cantor-diagonal 2-D grid
+    (config.rooms.grid_spacing meters apart, ref Main.hs:2504) and
+    chains every grid-adjacent pair along BOTH the X and Z axes, so
+    the position optimization solves a genuinely 2-D building."""
     from housescan_tpu.rooms import (
         Scene,
         WallRelation,
+        adopt_bbox_corners,
         connect_walls,
         load_room,
         optimize_room_positions,
@@ -169,6 +234,7 @@ def scan_building(
                 room, rd, mesh, config,
                 progress=progress, write_mesh=write_mesh,
                 interpret=interpret,
+                checkpoint_every=checkpoint_every, resume=resume,
             )
         else:
             scan_to_room_dir(
@@ -180,6 +246,7 @@ def scan_building(
                 progress=progress,
                 checkpoint_every=checkpoint_every,
                 resume=resume,
+                known_poses=room.known_poses,
             )
         done.append(room.name)
         bc_path.write_text(json.dumps({"rooms_done": done}))
@@ -190,6 +257,10 @@ def scan_building(
     for rd in room_dirs:
         r = load_room(scene, rd)
         r = suggest_corners(scene, r)
+        # >8 candidates (furniture-plane intersections): adopt the 8 at
+        # the cloud extremes (rooms/corners.py adopt_bbox_corners — the
+        # headless accept-on-click).
+        r = adopt_bbox_corners(scene, r)
         loaded.append(r)
 
     # ---- batched cuboid fit: one device launch for the whole floor ----
@@ -218,15 +289,56 @@ def scan_building(
                 print(f"  {rooms[i].name}: cuboid RMSE {rmse*1000:.2f} mm")
             fitted[i] = new_room
 
-    # ---- chain rooms wall-to-wall and optimize (houseSetup) ----
-    for a in range(len(fitted) - 1):
-        if len(fitted[a].planes) == 0 or len(fitted[a + 1].planes) == 0:
-            continue
-        pa = min(fitted[a].planes, key=lambda p: p.normal[0])
-        pb = max(fitted[a + 1].planes, key=lambda p: p.normal[0])
+    # ---- arrange + chain rooms wall-to-wall and optimize (houseSetup) ----
+    from housescan_tpu.rooms.types import Axis
+    from housescan_tpu.rooms.walls import best_axis
+
+    def _connect_axis(ra, rb, axis_i):
+        """Connect ra's high-``axis_i`` wall to rb's low one (inward
+        normals: the +axis wall's inward normal points -axis, so ra's
+        min-normal plane faces rb's max-normal plane). Only planes whose
+        dominant normal IS the requested axis qualify — a partially
+        scanned room without a wall on this axis simply stays
+        unconnected (connect_walls would reject a cross-axis pair
+        anyway, ref Main.hs:2056)."""
+        if not ra.corners or not rb.corners:
+            # optimize_room_positions refuses corner-less rooms (ref
+            # Main.hs:2102-2103); a partially-scanned room stays
+            # unconnected rather than poisoning the whole solve.
+            return
+        axis = (Axis.X, Axis.Y, Axis.Z)[axis_i]
+        ca = [p for p in ra.planes if best_axis(p.normal) == axis]
+        cb = [p for p in rb.planes if best_axis(p.normal) == axis]
+        if not ca or not cb:
+            return
+        pa = min(ca, key=lambda p: p.normal[axis_i])
+        pb = max(cb, key=lambda p: p.normal[axis_i])
         connect_walls(
             scene, pa.plane_id, pb.plane_id, WallRelation.opposite(gap)
         )
+
+    if layout == "grid":
+        from housescan_tpu.rooms import translate_room
+
+        spacing = config.rooms.grid_spacing
+        slots = cantor_slots(len(fitted))
+        by_slot = {}
+        for i, (gx, gz) in enumerate(slots):
+            r = scene.rooms[fitted[i].room_id]
+            moved = translate_room(
+                r, np.array([gx * spacing, 0.0, gz * spacing], np.float32)
+            )
+            scene.update_room(moved)
+            fitted[i] = moved
+            by_slot[(gx, gz)] = i
+        for (gx, gz), i in by_slot.items():
+            for dx, dz, axis_i in ((1, 0, 0), (0, 1, 2)):
+                j = by_slot.get((gx + dx, gz + dz))
+                if j is not None:
+                    _connect_axis(fitted[i], fitted[j], axis_i)
+    else:
+        for a in range(len(fitted) - 1):
+            _connect_axis(fitted[a], fitted[a + 1], 0)
     results = optimize_room_positions(scene)
     if progress:
         for axis, nc, rmse in results:

@@ -488,6 +488,67 @@ def make_sharded_step(
     return step
 
 
+def single_state_from_sharded(state: ShardedKinFuState):
+    """Gather a sharded fusion state into a host-side single-chip
+    KinFuState — the scan-checkpoint schema (kinfu/scan_checkpoint.py),
+    giving SHARDED rooms the same frame-granular mid-scan resume the
+    single-chip loop has. The sharded state conflates pose/model_pose
+    and does not carry rmse diagnostics; the checkpoint records the
+    conservative equivalents."""
+    import numpy as np
+
+    from housescan_tpu.kinfu.pipeline import KinFuState
+
+    vol = state.volume
+    volume = TsdfVolume(
+        data=jnp.asarray(np.asarray(vol.data)),
+        origin=jnp.asarray(np.asarray(vol.origin)),
+        voxel_size=jnp.asarray(np.asarray(vol.voxel_size)),
+        trunc=jnp.asarray(np.asarray(vol.trunc)),
+    )
+    pose = jnp.asarray(np.asarray(state.pose))
+    return KinFuState(
+        volume=volume,
+        planes=jnp.asarray(np.asarray(state.planes)),
+        pose=pose,
+        model_maps=jnp.asarray(np.asarray(state.model_maps)),
+        model_pose=pose,
+        frame_index=jnp.asarray(np.asarray(state.frame_index)),
+        last_rmse=jnp.asarray(0.0, jnp.float32),
+        last_corr=jnp.asarray(0, jnp.int32),
+        last_tracked=jnp.asarray(True),
+    )
+
+
+def sharded_state_from_single(
+    mesh: Mesh, kstate, use_pallas: bool
+) -> ShardedKinFuState:
+    """Scatter a single-chip KinFuState (e.g. a loaded scan checkpoint)
+    back into the X-slab-sharded layout (inverse of
+    single_state_from_sharded)."""
+    rep = NamedSharding(mesh, P())
+    if use_pallas:
+        data_sh = NamedSharding(mesh, P(VOLUME_AXIS, None, None))
+        planes_sh = NamedSharding(mesh, P(VOLUME_AXIS))
+    else:
+        data_sh = NamedSharding(mesh, P(None, VOLUME_AXIS, None, None))
+        planes_sh = rep
+    vol = kstate.volume
+    volume = TsdfVolume(
+        data=jax.device_put(jnp.asarray(vol.data), data_sh),
+        origin=jax.device_put(jnp.asarray(vol.origin), rep),
+        voxel_size=jax.device_put(jnp.asarray(vol.voxel_size), rep),
+        trunc=jax.device_put(jnp.asarray(vol.trunc), rep),
+    )
+    return ShardedKinFuState(
+        volume=volume,
+        planes=jax.device_put(jnp.asarray(kstate.planes), planes_sh),
+        pose=jax.device_put(jnp.asarray(kstate.pose), rep),
+        model_maps=jnp.asarray(kstate.model_maps),
+        frame_index=jnp.asarray(kstate.frame_index),
+    )
+
+
 def sharded_fusion_step(state, raw_depth, mesh, intr, **kwargs):
     """Convenience one-shot wrapper (builds the step each call; for loops
     use make_sharded_step once)."""

@@ -16,7 +16,12 @@ from housescan_tpu.rooms.ops import (
     rotate_room_around,
     translate_room,
 )
-from housescan_tpu.rooms.corners import add_corner_from_planes, suggest_corners
+from housescan_tpu.rooms.corners import (
+    accept_corner_suggestion,
+    add_corner_from_planes,
+    adopt_bbox_corners,
+    suggest_corners,
+)
 from housescan_tpu.rooms.cuboid import fit_cuboid_to_room, make_planes_from_cuboid
 from housescan_tpu.rooms.align import auto_align_floor, room_auto_align_axis
 from housescan_tpu.rooms.walls import connect_walls, disconnect_walls, optimize_room_positions
@@ -45,6 +50,8 @@ __all__ = [
     "translate_room",
     "add_corner_from_planes",
     "suggest_corners",
+    "accept_corner_suggestion",
+    "adopt_bbox_corners",
     "fit_cuboid_to_room",
     "make_planes_from_cuboid",
     "auto_align_floor",

@@ -67,6 +67,45 @@ def suggest_corners(
     return new_room
 
 
+def adopt_bbox_corners(scene: Scene, room: Room, max_snap: float = 0.1) -> Room:
+    """Adopt the 8 corner suggestions nearest the cloud's bounding-box
+    corners — the headless-orchestrator analog of the reference's
+    accept-on-click (ref Main.hs:1541-1545, :1018-1047).
+
+    suggest_corners auto-adopts only when EXACTLY 8 intersections
+    survive the cutoff (ref Main.hs:1532-1535); a furnished room's
+    RANSAC planes usually include furniture faces whose wall
+    intersections add extra candidates, leaving the user to click the
+    true corners. The true corners are the cloud's spatial extremes, so
+    each bounding-box corner's nearest suggestion is adopted. Returns
+    the room unchanged (suggestions intact, for interactive
+    accept-corner) unless all 8 bbox corners snap to DISTINCT
+    suggestions within ``max_snap`` meters."""
+    if room.corners or len(room.suggested_corners) < 8:
+        return room
+    pts = np.asarray(room.cloud.points)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    chosen = []
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                target = np.array(
+                    [(lo[0], hi[0])[sx], (lo[1], hi[1])[sy], (lo[2], hi[2])[sz]]
+                )
+                sid, spt = min(
+                    room.suggested_corners,
+                    key=lambda s: float(np.linalg.norm(s[1] - target)),
+                )
+                if float(np.linalg.norm(spt - target)) > max_snap:
+                    return room
+                chosen.append(sid)
+    if len(set(chosen)) != 8:
+        return room
+    for sid in chosen:
+        room = accept_corner_suggestion(scene, room, sid)
+    return room
+
+
 def accept_corner_suggestion(scene: Scene, room: Room, sugg_id: ID) -> Room:
     """Move one suggested corner into the room's corners
     (ref Main.hs:1541-1545, :1484-1488)."""

@@ -134,3 +134,173 @@ class _PoisonStream:
     def __iter__(self):
         self.calls.append("iterated")
         raise AssertionError("resumed building scan iterated a finished room")
+
+
+class TestGridBuilding:
+    """Config-5 scale: 8 rooms on the reference's Cantor-diagonal 2-D
+    grid (ref Main.hs:2328-2331, :2448-2517) with wall chaining on both
+    the X and Z axes."""
+
+    def test_cantor_slots_order(self):
+        from housescan_tpu.kinfu.building import cantor_slots
+
+        assert cantor_slots(6) == [(0, 0), (1, 0), (0, 1), (2, 0), (1, 1), (0, 2)]
+        assert len(cantor_slots(23)) == 23  # the houseSetup room count
+
+    def test_eight_room_grid_building(self, tmp_path):
+        cfg = Config(
+            tsdf=TsdfConfig(resolution=128, size_m=3.2, trunc_dist=0.06),
+            ransac=RansacConfig(
+                min_inlier_fraction=0.01, max_planes=12, n_hypotheses=1024
+            ),
+        )
+        # Full-coverage known-pose sweeps (walls up+down + floor +
+        # ceiling passes): every room detects all 6 faces, so corner
+        # adoption, cuboid fitting and X-/Z-axis chaining all engage (a
+        # tracked partial sweep cannot see behind the camera; tracking
+        # has its own tests).
+        half = np.array([1.3, 1.1, 1.3], np.float32)
+        _, boxes = furnished_room()
+        rooms = []
+        for ri in range(8):
+            sweeps = [
+                orbit_poses(6, radius=0.25, yaw_range=6.283, pitch=p, seed=ri)
+                for p in (0.35, -0.35)
+            ]
+            sweeps.append(orbit_poses(6, radius=0.7, height=-0.6,
+                                      yaw_range=6.283, pitch=-1.2, seed=ri))
+            sweeps.append(orbit_poses(6, radius=0.7, height=0.6,
+                                      yaw_range=6.283, pitch=1.2, seed=ri))
+            poses = np.concatenate(sweeps)
+            frames = render_depth_stream(INTR, poses, half, boxes=boxes, seed=ri)
+            rooms.append(
+                RoomScan(
+                    name=f"room{ri}",
+                    stream=DepthStream(frames=frames, intrinsics=INTR),
+                    init_pose=poses[0],
+                    known_poses=poses,
+                )
+            )
+        scene, fitted, out = scan_building(
+            rooms, tmp_path / "bld", config=cfg, gap=0.1, layout="grid"
+        )
+        assert len(scene.rooms) == 8
+        done = json.loads((out / "building_checkpoint.json").read_text())
+        assert done["rooms_done"] == [f"room{i}" for i in range(8)]
+        assert len(sorted((out / "xf").glob("*.xf"))) == 8
+
+        # Cantor grid: 8 slots span both axes -> constraints on X AND Z.
+        from housescan_tpu.kinfu.building import cantor_slots
+
+        slots = cantor_slots(8)
+        assert {s[0] for s in slots} != {0} and {s[1] for s in slots} != {0}
+        # the scene's wall connections cover grid-adjacent pairs on both
+        # axes (at least the (0,0)-(1,0) X pair and (0,0)-(0,1) Z pair)
+        assert len(scene.connected_walls) >= 2
+        # The optimizer pulls connected rooms wall-to-wall: every
+        # grid-adjacent pair ends room-width + gap apart (2.6 m rooms,
+        # 0.1 m gap) along its axis, and grid ORDER is preserved.
+        by_slot = {s: i for i, s in enumerate(slots)}
+        n_checked = 0
+        for (gx, gz), i in by_slot.items():
+            for dx, dz, axis_i in ((1, 0, 0), (0, 1, 2)):
+                j = by_slot.get((gx + dx, gz + dz))
+                if j is None:
+                    continue
+                off = float(fitted[j].mean()[axis_i] - fitted[i].mean()[axis_i])
+                assert 2.3 < off < 3.1, (
+                    f"rooms {i}->{j} axis {axis_i}: offset {off:.2f} m"
+                )
+                n_checked += 1
+        assert n_checked >= 2  # X and Z neighbors both exist in 8 slots
+
+
+class TestShardedMidRoomResume:
+    def test_kill_and_resume_mid_sharded_room(self, tmp_path):
+        """A building run killed mid-SHARDED-room resumes from the
+        frame-granular scan checkpoint instead of rescanning the room."""
+        from jax.sharding import Mesh
+
+        from housescan_tpu.parallel.mesh import VOLUME_AXIS
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = Mesh(np.array(devs[:8]), (VOLUME_AXIS,))
+        cfg = Config(
+            tsdf=TsdfConfig(resolution=64, size_m=3.2, trunc_dist=0.1),
+            ransac=RansacConfig(min_inlier_fraction=0.02),
+        )
+        rooms = _room_scans(1, n_frames=6)
+        out = tmp_path / "bld"
+
+        # First run dies after frame 4 (checkpoint lands at frame 4).
+        dying = RoomScan(
+            name="room0",
+            stream=_DyingStream(rooms[0].stream, die_at=4),
+            init_pose=rooms[0].init_pose,
+        )
+        with pytest.raises(_SimulatedCrash):
+            scan_building(
+                [dying], out, config=cfg, mesh=mesh,
+                sharded_min_resolution=64, checkpoint_every=2,
+            )
+        assert (out / "room0" / "scan_checkpoint.npz").exists()
+
+        # The checkpoint recorded frame 4 (the last multiple of 2 before
+        # the crash at frame 4's fuse).
+        import json as _json
+
+        with np.load(out / "room0" / "scan_checkpoint.npz") as z:
+            manifest = _json.loads(str(z["manifest"]))
+        assert manifest["frame_index"] == 4
+
+        # Resume: exactly frames 4 and 5 may be FUSED (count sharded
+        # step invocations; iteration itself skips the finished prefix).
+        import housescan_tpu.parallel.sharded as sharded_mod
+
+        calls = []
+        real_make = sharded_mod.make_sharded_step
+
+        def counted_make(*a, **kw):
+            step = real_make(*a, **kw)
+
+            def stepped(state, frame):
+                calls.append(1)
+                return step(state, frame)
+
+            return stepped
+
+        import unittest.mock as mock
+
+        with mock.patch.object(sharded_mod, "make_sharded_step", counted_make):
+            scene, fitted, _ = scan_building(
+                rooms, out, config=cfg, mesh=mesh,
+                sharded_min_resolution=64, checkpoint_every=2, resume=True,
+            )
+        assert len(calls) == 2, f"resume fused {len(calls)} frames, wanted 2"
+        traj = np.load(out / "room0" / "trajectory.npz")["poses"]
+        assert traj.shape == (6, 4, 4) and np.isfinite(traj).all()
+        assert len(scene.rooms) == 1
+
+
+class _SimulatedCrash(RuntimeError):
+    pass
+
+
+class _DyingStream:
+    def __init__(self, like, die_at):
+        self.intrinsics = like.intrinsics
+        self._frames = list(like)
+        self._die_at = die_at
+
+    def __len__(self):
+        return len(self._frames)
+
+    def __iter__(self):
+        for k, f in enumerate(self._frames):
+            if k == self._die_at:
+                raise _SimulatedCrash(f"killed at frame {k}")
+            yield f
+
+
