@@ -37,7 +37,7 @@ def fit_plane(points: jnp.ndarray) -> PlaneEq:
     scatter = mm(centered.T, centered)  # 3x3; one matmul, MXU-friendly for big N
     _, eigvecs = jnp.linalg.eigh(scatter)
     normal = eigvecs[:, 0]
-    d = jnp.dot(normal, mean)
+    d = jnp.dot(normal, mean, precision="highest")
     sign = jnp.where(d < 0, -1.0, 1.0).astype(points.dtype)
     return PlaneEq(normal * sign, d * sign)
 
@@ -52,7 +52,7 @@ def fit_plane_weighted(points: jnp.ndarray, weights: jnp.ndarray) -> PlaneEq:
     scatter = mm(centered.T, centered)
     _, eigvecs = jnp.linalg.eigh(scatter)
     normal = eigvecs[:, 0]
-    d = jnp.dot(normal, mean)
+    d = jnp.dot(normal, mean, precision="highest")
     sign = jnp.where(d < 0, -1.0, 1.0).astype(points.dtype)
     return PlaneEq(normal * sign, d * sign)
 

@@ -22,6 +22,7 @@ from typing import NamedTuple, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from housescan_tpu.geometry.transform import mm
 from housescan_tpu.kinfu.camera import Intrinsics
 
 
@@ -150,7 +151,7 @@ def _twist_to_proj(x: jnp.ndarray) -> jnp.ndarray:
         [[zero, -kz, ky], [kz, zero, -kx], [-ky, kx, zero]]
     )
     s, c = jnp.sin(theta), jnp.cos(theta)
-    r_col = jnp.eye(3, dtype=x.dtype) + s * skew + (1 - c) * (skew @ skew)
+    r_col = jnp.eye(3, dtype=x.dtype) + s * skew + (1 - c) * mm(skew, skew)
     # Row-vector form: p' = p @ r_col.T + t
     m = jnp.eye(4, dtype=x.dtype)
     m = m.at[:3, :3].set(r_col.T)
@@ -186,8 +187,8 @@ def _normal_equations(
     """
     rot = pose[:3, :3]
     t = pose[3, :3]
-    v_w = live_vertices @ rot + t
-    n_w = live_normals @ rot
+    v_w = mm(live_vertices, rot) + t
+    n_w = mm(live_normals, rot)
     # Require a real live normal: the discontinuity mask zeroes normals at
     # occlusion edges, and a zero normal would trivially pass the angle
     # test below.
@@ -198,7 +199,7 @@ def _normal_equations(
     # Project into the PREVIOUS camera (projective data association).
     p_rot = prev_pose[:3, :3]
     p_t = prev_pose[3, :3]
-    v_pc = (v_w - p_t) @ p_rot.T
+    v_pc = mm(v_w - p_t, p_rot.T)
     z = v_pc[..., 2]
     safe_z = jnp.where(z > 1e-6, z, 1.0)
     u = intr.fx * v_pc[..., 0] / safe_z + intr.cx  # float (sub-pixel)
@@ -286,7 +287,7 @@ def _icp_level_iteration(
         x, ok = _solve_increment(a, b, damping=damping)
         inc = _twist_to_proj(x)
         # Keep the old pose if the solve failed.
-        new_pose = jnp.where(ok, pose @ inc, pose)
+        new_pose = jnp.where(ok, mm(pose, inc), pose)
         step_norm = jnp.where(ok, jnp.linalg.norm(x), 0.0)
     else:
         # One fused Pallas call: as separate XLA ops this scalar tail

@@ -15,6 +15,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from housescan_tpu.geometry.transform import mm
 from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.icp import icp_track
@@ -94,7 +95,7 @@ def inverse_rigid(m: jnp.ndarray) -> jnp.ndarray:
     t = m[3, :3]
     inv = jnp.eye(4, dtype=m.dtype)
     inv = inv.at[:3, :3].set(r.T)
-    inv = inv.at[3, :3].set(-t @ r.T)
+    inv = inv.at[3, :3].set(mm(-t, r.T))
     return inv
 
 

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from housescan_tpu.geometry.fitting import fit_plane_weighted
+from housescan_tpu.geometry.transform import mm
 from housescan_tpu.geometry.plane import PlaneEq
 
 
@@ -85,7 +86,7 @@ def detect_planes(
         raw_mask = inl[best].astype(jnp.float32)
         eq = fit_plane_weighted(points, raw_mask)
         # Re-collect inliers of the REFINED plane.
-        dist_r = jnp.abs(points @ eq.normal - eq.d)
+        dist_r = jnp.abs(mm(points, eq.normal) - eq.d)
         final_mask = (dist_r < inlier_threshold) & available
         count = jnp.sum(final_mask)
 

@@ -16,6 +16,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from housescan_tpu.geometry.transform import mm
 from housescan_tpu.kinfu.camera import Intrinsics, pixel_rays
 from housescan_tpu.kinfu.tsdf import TsdfVolume, sample_trilinear, tsdf_gradient
 
@@ -59,7 +60,7 @@ def raycast(
     rays_cam = pixel_rays(intr)
     rot = pose[:3, :3]
     origin = pose[3, :3]
-    dirs = rays_cam @ rot  # world dirs, scaled so z_cam(t) = t
+    dirs = mm(rays_cam, rot)  # world dirs, scaled so z_cam(t) = t
     inv_scale = 1.0 / jnp.linalg.norm(dirs, axis=-1)  # meters of t per unit ray
 
     # Ray/volume AABB intersection -> per-pixel [t_near, t_far].
@@ -152,9 +153,9 @@ def raycast(
     hit = hit & full_support
 
     hit_pts = jnp.where(hit[..., None], pts, 0.0)
-    v_cam = jnp.where(hit[..., None], (hit_pts - origin) @ rot.T, 0.0)
+    v_cam = jnp.where(hit[..., None], mm(hit_pts - origin, rot.T), 0.0)
     n_cam = vertex_normals(v_cam)
-    normals = n_cam @ rot
+    normals = mm(n_cam, rot)
     valid = hit & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
     vertices = jnp.where(valid[..., None], pts, 0.0)
     normals = jnp.where(valid[..., None], normals, 0.0)

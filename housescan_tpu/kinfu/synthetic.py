@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from housescan_tpu.geometry.transform import axis_angle_mat
+from housescan_tpu.geometry.transform import axis_angle_mat, mm
 from housescan_tpu.kinfu.camera import Intrinsics, pixel_rays
 
 
@@ -40,7 +40,7 @@ def render_box_interior_depth(
     rays_cam = pixel_rays(intr)  # (H, W, 3), z = 1
     rot = pose[:3, :3]
     origin = pose[3, :3]
-    dirs = rays_cam @ rot  # world-frame ray directions, z_cam = 1 scaling
+    dirs = mm(rays_cam, rot)  # world-frame ray directions, z_cam = 1 scaling
 
     # Exit distance from inside the room slab per axis:
     # t_axis = (sign(dir) * half - origin) / dir

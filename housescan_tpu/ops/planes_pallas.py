@@ -198,6 +198,7 @@ def plane_fields_for_block(
         return acc + jax.lax.dot_general(
             all_rows, seg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     acc = jax.lax.fori_loop(0, 8, slab_pass, jnp.zeros((19, nsub), jnp.float32))

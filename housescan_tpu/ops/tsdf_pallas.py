@@ -292,10 +292,12 @@ def _kernel(
                         tnum = jax.lax.dot_general(
                             num_t, wr, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
                         )  # (WIN_U, Z)
                         tden = jax.lax.dot_general(
                             den_t, wr, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
                         )
                         d_rows.append(jnp.sum(tnum * wc, axis=0).reshape(1, CHUNK_Z))
                         den_rows.append(jnp.sum(tden * wc, axis=0).reshape(1, CHUNK_Z))

@@ -459,6 +459,7 @@ def _process_half(
                         wc,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # (nrows, Z)
                     d_rows.append(
                         jnp.sum(t2 * wr, axis=0).reshape(1, CHUNK_Z)
@@ -483,6 +484,7 @@ def _process_half(
                         wc,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     )  # (2*nrows, Z)
                     d_rows.append(
                         jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)

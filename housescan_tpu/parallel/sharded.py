@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from housescan_tpu.geometry.transform import mm
 from housescan_tpu.kinfu import maps as mp
 from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.icp import (
@@ -414,7 +415,7 @@ def make_sharded_step(
                     tight,
                 )
                 x, ok = _solve_increment(a, b)
-                pose = jnp.where(ok, pose @ _twist_to_proj(x), pose)
+                pose = jnp.where(ok, mm(pose, _twist_to_proj(x)), pose)
                 icp_corr = nc
 
         new_pose = jnp.where(is_first, state.pose, pose)
@@ -464,10 +465,10 @@ def make_sharded_step(
             # Normals from the combined vertex map (replicated, small).
             rot = new_pose[:3, :3]
             v_cam = jnp.where(
-                valid[..., None], (verts - new_pose[3, :3]) @ rot.T, 0.0
+                valid[..., None], mm(verts - new_pose[3, :3], rot.T), 0.0
             )
             n_cam = vertex_normals(v_cam)
-            normals = n_cam @ rot
+            normals = mm(n_cam, rot)
             valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
             model_maps = mp.model_from_hwc(
                 jnp.where(valid[..., None], verts, 0.0),

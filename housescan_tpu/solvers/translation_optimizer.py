@@ -59,8 +59,8 @@ def lst_sq_distances_dense(
 
     # Normal equations: (E,n) problems here are tiny (rooms per floor), and
     # gram-matrix solve is one MXU matmul + an (n-1)x(n-1) solve.
-    gram = a.T @ a
-    rhs = a.T @ dists
+    gram = jnp.matmul(a.T, a, precision="highest")
+    rhs = jnp.matmul(a.T, dists, precision="highest")
     # Rank check via diagonal of Cholesky-ish: use eigvalsh smallest.
     eigs = jnp.linalg.eigvalsh(gram)
     ok = eigs[0] > 1e-9 * jnp.maximum(eigs[-1], 1e-30)
@@ -68,7 +68,7 @@ def lst_sq_distances_dense(
     x = jnp.where(ok, x, jnp.nan)
 
     positions = jnp.concatenate([jnp.zeros((1,), dtype), x])
-    residual = a @ x - dists
+    residual = jnp.matmul(a, x, precision="highest") - dists
     rmse = jnp.sqrt(jnp.sum(residual**2) / e)
     return positions, rmse, ok
 
