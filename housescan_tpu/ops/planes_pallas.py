@@ -195,11 +195,20 @@ def plane_fields_for_block(
         )
 
         all_rows = jnp.concatenate([rows, grows], axis=0)  # (19, nz)
-        return acc + jax.lax.dot_general(
-            all_rows, seg, (((1,), (0,)), ((), ())),
+        # seg is an exact 0/1 one-hot, but Mosaic's DEFAULT dot also
+        # truncates the VALUE operand to bf16 (the res>=256 depth-bias
+        # root cause, commit ffc3b25). Split the moment rows into an
+        # exactly-bf16 hi part + residual stacked on the row axis: two
+        # effective bf16 passes in one issue instead of HIGHEST's
+        # 6-pass f32 emulation, with ~2^-17 relative moment error.
+        r_hi = all_rows.astype(jnp.bfloat16).astype(jnp.float32)
+        r_lo = all_rows - r_hi
+        t2 = jax.lax.dot_general(
+            jnp.concatenate([r_hi, r_lo], axis=0), seg,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        )  # (38, nsub)
+        return acc + t2[:19] + t2[19:]
 
     acc = jax.lax.fori_loop(0, 8, slab_pass, jnp.zeros((19, nsub), jnp.float32))
 

@@ -44,6 +44,9 @@ from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z
 MAX_CT = 96  # candidates per (band, u-tile) at production image sizes;
 # small test images have few tiles and would overflow constantly, so
 # _max_ct() widens the per-tile budget as the tile count shrinks.
+CHUNK = 96  # candidates processed per grid step inside the kernel —
+# bounds kernel locals at (96, 8, 128) f32 so widened budgets can't
+# overflow the 16 MB scoped-VMEM stack; budgets must be multiples.
 N_PREP = 16  # prepared fields (10 used, padded to a sublane tile)
 BIG = 1.0e9
 MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
@@ -253,8 +256,20 @@ def _kernel(params, cand, out):
     layout; finalize_plane_maps consumes row 8 and drops it).
     One packed buffer instead of eight: Pallas pipeline bookkeeping is
     ~0.36us per buffer per active step (PERFORMANCE.md), so 8 -> 1
-    output buffers saves ~0.75 ms/frame across the ~300-tile grid."""
+    output buffers saves ~0.75 ms/frame across the ~300-tile grid.
+
+    The candidate axis is CHUNKED THROUGH THE GRID (inner dim, CHUNK=96
+    per step): kernel locals are (CHUNK, 8, 128) regardless of the
+    per-tile budget, so the widened 384-candidate budget of small test
+    images no longer blows the 16 MB scoped-VMEM stack (measured 23.8 MB
+    at 320x240/512^3 when fully vectorized). The output block's index is
+    constant across chunks, so it stays resident in VMEM and carries the
+    running (t, bid, normal, occluder) accumulators between steps; the
+    merge is the same min-t / max-bid-on-tie reduction the global
+    version computed, applied hierarchically (associative, bit-exact)."""
     g = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
 
     r00, r01, r02 = params[0], params[1], params[2]
     r10, r11, r12 = params[3], params[4], params[5]
@@ -330,27 +345,53 @@ def _kernel(params, cand, out):
     oz_ = ts * dwz - rz
     miss2 = ox_ * ox_ + oy_ * oy_ + oz_ * oz_
     hit_o = (ok > 0.5) & (occf > 0.5) & (miss2 <= rad2) & (ts > z_min)
-    best_o = jnp.min(jnp.where(hit_o, ts, BIG), axis=0, keepdims=True)
-    got = best_t < BIG
+    o_c = jnp.min(jnp.where(hit_o, ts, BIG), axis=0, keepdims=True)
     # Tie-break by block id so a pixel's fields all come from ONE
     # candidate (coplanar neighboring sub-blocks can tie in t exactly).
     win = hit & (tt <= best_t)
-    bbid = jnp.max(jnp.where(win, bid, -1.0), axis=0, keepdims=True)
-    sel = win & (bid == bbid)
-    bnx = jnp.max(jnp.where(sel, nx, -BIG), axis=0, keepdims=True)
-    bny = jnp.max(jnp.where(sel, ny, -BIG), axis=0, keepdims=True)
-    bnz = jnp.max(jnp.where(sel, nz, -BIG), axis=0, keepdims=True)
+    bid_c = jnp.max(jnp.where(win, bid, -1.0), axis=0, keepdims=True)
+    sel = win & (bid == bid_c)
+    nx_c = jnp.max(jnp.where(sel, nx, -BIG), axis=0, keepdims=True)
+    ny_c = jnp.max(jnp.where(sel, ny, -BIG), axis=0, keepdims=True)
+    nz_c = jnp.max(jnp.where(sel, nz, -BIG), axis=0, keepdims=True)
 
-    tq1 = jnp.where(got, best_t, 0.0)[0]
-    out[0] = tq1
-    out[1] = jnp.where(got[0], tx + tq1 * dwx[0], 0.0)
-    out[2] = jnp.where(got[0], ty + tq1 * dwy[0], 0.0)
-    out[3] = jnp.where(got[0], tz + tq1 * dwz[0], 0.0)
-    out[4] = jnp.where(got[0], bnx[0], 0.0)
-    out[5] = jnp.where(got[0], bny[0], 0.0)
-    out[6] = jnp.where(got[0], bnz[0], 0.0)
-    out[7] = jnp.where(got[0], bbid[0], -1.0)
-    out[8] = best_o[0]  # nearest occluder event (BIG = none)
+    # Merge this chunk's winner with the carry parked in the resident
+    # output block (rows 0/4/5/6/7/8 hold raw accumulators until the
+    # last chunk finalizes). k==0 forces the chunk so first-visit
+    # garbage in the window (incl. NaNs, which compare False) is inert.
+    first = k == 0
+    acc_t = out[0].reshape(1, 8, 128)
+    acc_bid = out[7].reshape(1, 8, 128)
+    take = first | (best_t < acc_t) | ((best_t == acc_t) & (bid_c > acc_bid))
+    best_t = jnp.where(take, best_t, acc_t)
+    bbid = jnp.where(take, bid_c, acc_bid)
+    bnx = jnp.where(take, nx_c, out[4].reshape(1, 8, 128))
+    bny = jnp.where(take, ny_c, out[5].reshape(1, 8, 128))
+    bnz = jnp.where(take, nz_c, out[6].reshape(1, 8, 128))
+    best_o = jnp.where(first, o_c, jnp.minimum(o_c, out[8].reshape(1, 8, 128)))
+
+    @pl.when(k < nk - 1)
+    def _park():
+        out[0] = best_t[0]
+        out[4] = bnx[0]
+        out[5] = bny[0]
+        out[6] = bnz[0]
+        out[7] = bbid[0]
+        out[8] = best_o[0]
+
+    @pl.when(k == nk - 1)
+    def _finalize():
+        got = best_t < BIG
+        tq1 = jnp.where(got, best_t, 0.0)[0]
+        out[0] = tq1
+        out[1] = jnp.where(got[0], tx + tq1 * dwx[0], 0.0)
+        out[2] = jnp.where(got[0], ty + tq1 * dwy[0], 0.0)
+        out[3] = jnp.where(got[0], tz + tq1 * dwz[0], 0.0)
+        out[4] = jnp.where(got[0], bnx[0], 0.0)
+        out[5] = jnp.where(got[0], bny[0], 0.0)
+        out[6] = jnp.where(got[0], bnz[0], 0.0)
+        out[7] = jnp.where(got[0], bbid[0], -1.0)
+        out[8] = best_o[0]  # nearest occluder event (BIG = none)
 
 
 def raycast_tiles_maps(
@@ -390,16 +431,21 @@ def raycast_tiles_maps(
         ]
     ).astype(jnp.float32)
 
+    # Candidate axis chunked through the inner grid dim (see _kernel):
+    # the output block index ignores k, so the block stays VMEM-resident
+    # across a tile's chunks and carries the reduction accumulators.
+    assert cand.shape[1] % CHUNK == 0, cand.shape
+    nk = cand.shape[1] // CHUNK
     out = pl.pallas_call(
         _kernel,
-        grid=(n_bands * n_ut,),
+        grid=(n_bands * n_ut, nk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, cand.shape[1], N_PREP), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, CHUNK, N_PREP), lambda g, k: (g, k, 0)),
         ],
         out_specs=pl.BlockSpec(
             (9, 8, 128),
-            lambda g, n_ut=n_ut: (0, g // n_ut, g % n_ut),
+            lambda g, k, n_ut=n_ut: (0, g // n_ut, g % n_ut),
         ),
         out_shape=jax.ShapeDtypeStruct((9, intr.height, w_pad), jnp.float32),
         interpret=interpret,

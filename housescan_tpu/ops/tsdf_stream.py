@@ -418,7 +418,19 @@ def _process_half(
         ).astype(jnp.float32)
 
         def weights(uf, vf, iy):
+            # wc rides the MXU, whose DEFAULT-precision datapath
+            # truncates multiplicands to bf16. Snap the u fraction to a
+            # 1/256 grid FIRST: every hat weight then lands on k/256
+            # with k <= 256 (<= 8 significant bits), exactly
+            # bf16-representable, and complementary pairs still sum to
+            # 1 exactly — so the MXU applies the quantized weights with
+            # ZERO rounding. The quantization itself moves the sample
+            # point by <= 1/512 px (~0.01 mm on real depth gradients),
+            # versus ~10 mm of weight-sum drift when raw f32 hats get
+            # bf16-truncated (the res>=256 depth-bias root cause).
+            # wr is applied on the VPU in f32 and stays exact.
             uw = uf / scale - u0f
+            uw = jnp.round(uw * 256.0) * (1.0 / 256.0)
             vw = vf / scale - v0f
             wc = jnp.maximum(
                 0.0, 1.0 - jnp.abs(uw[iy : iy + 1, :] - cols_i)
@@ -448,19 +460,33 @@ def _process_half(
 
         all_valid = jnp.min(window) > 0.0
 
+        # Metric depth through a DEFAULT-precision (1-pass bf16) dot:
+        # split the window into an exactly-bf16 hi part plus its
+        # residual and stack them on the ROW axis of ONE dot — these
+        # small matmuls are issue-latency-bound (~0.3-1us each, 8 per
+        # tile), so doubling rows is nearly free while a HIGHEST pin
+        # (6-pass f32 emulation) measured -19 fps on the 512^3 bench.
+        # hi lands exactly; lo's own bf16 truncation leaves ~2^-17
+        # relative depth error (~0.04 mm at 5 m). wc is exact by
+        # construction (see weights()).
+        w_hi = window.astype(jnp.bfloat16).astype(jnp.float32)
+        w_lo = window - w_hi
+
         @pl.when(all_valid)
         def _():
+            win_hl = jnp.concatenate([w_hi, w_lo], axis=0)
+
             def get_depth_tile(uf, vf):
                 d_rows = []
                 for iy in range(8):
                     wc, wr = weights(uf, vf, iy)
-                    t2 = jax.lax.dot_general(
-                        window,
+                    t2s = jax.lax.dot_general(
+                        win_hl,
                         wc,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (nrows, Z)
+                    )  # (2*nrows, Z)
+                    t2 = t2s[:nrows] + t2s[nrows:]
                     d_rows.append(
                         jnp.sum(t2 * wr, axis=0).reshape(1, CHUNK_Z)
                     )
@@ -471,8 +497,8 @@ def _process_half(
 
         @pl.when(~all_valid)
         def _():
-            valid_w = (window > 0.0).astype(jnp.float32)
-            win2 = jnp.concatenate([window, valid_w], axis=0)
+            valid_w = (window > 0.0).astype(jnp.float32)  # exact in bf16
+            win2 = jnp.concatenate([w_hi, w_lo, valid_w], axis=0)
 
             def get_depth_tile(uf, vf):
                 d_rows = []
@@ -484,13 +510,13 @@ def _process_half(
                         wc,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )  # (2*nrows, Z)
+                    )  # (3*nrows, Z)
+                    num = t2[:nrows] + t2[nrows : 2 * nrows]
                     d_rows.append(
-                        jnp.sum(t2[:nrows] * wr, axis=0).reshape(1, CHUNK_Z)
+                        jnp.sum(num * wr, axis=0).reshape(1, CHUNK_Z)
                     )
                     den_rows.append(
-                        jnp.sum(t2[nrows:] * wr, axis=0).reshape(1, CHUNK_Z)
+                        jnp.sum(t2[2 * nrows :] * wr, axis=0).reshape(1, CHUNK_Z)
                     )
                 num = jnp.concatenate(d_rows, axis=0)
                 den = jnp.concatenate(den_rows, axis=0)
