@@ -108,10 +108,13 @@ def main() -> None:
     print(f"# pose error vs ground truth after {n_frames} frames: "
           f"{pose_err_mm:.2f} mm", file=sys.stderr)
     # Hard tracking-quality gate: regressions must fail LOUDLY, not ride
-    # along under a good fps number. Budget: 0.75 mm/frame worst case
-    # (recent builds run 0.45-0.50 mm/frame + a +-2 mm run-to-run noise
-    # floor between numerically-equivalent builds).
-    max_err_mm = 0.75 * n_frames
+    # along under a good fps number. Post-rework builds measure 0.65 mm
+    # after the 20-frame 512^3 orbit (0.033 mm/frame); budget 0.15
+    # mm/frame plus the +-2 mm run-to-run noise floor between
+    # numerically-equivalent builds, i.e. 5 mm at 20 frames — a 512^3
+    # metric-precision regression (11+ mm, commit 5d76e80) fails, noise
+    # does not.
+    max_err_mm = 0.15 * n_frames + 2.0
     if pose_err_mm > max_err_mm:
         print(
             f"# FAIL: pose error {pose_err_mm:.2f} mm exceeds the "
