@@ -183,3 +183,70 @@ class TestPlaneRaycast:
         assert np.median(err) < 0.0005
         # outlier tail: bounded at >10 mm, not merely at >50 mm
         assert (err > 0.01).mean() < 0.04
+
+
+class TestRaycastTilesChunkMerge:
+    def test_cross_chunk_merge_tie_break_and_occluder(self):
+        """Directly drives the chunked _kernel (commit 5d76e80): the
+        candidate axis streams through the grid 96 at a time with the
+        output block carrying min-t / max-bid-on-tie accumulators.
+        Hand-built candidates place the surviving surface hit in chunk
+        3 (slot 300), an equal-t competitor with a SMALLER bid in chunk
+        0 (the cross-chunk tie must resolve to the larger bid, exactly
+        like the old fully-vectorized global reduction), an occluder
+        event in chunk 0 (min-merged across chunks), and an invalid
+        candidate that must not hit at all."""
+        import jax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from housescan_tpu.ops.raycast_tiles import CHUNK, N_PREP, _kernel
+
+        max_ct = 4 * CHUNK
+        cand = np.zeros((1, max_ct, N_PREP), np.float32)
+
+        def put(slot, n, fnum, r, rad2, bid, ok=1.0, occf=0.0):
+            cand[0, slot, :11] = [n[0], n[1], n[2], fnum,
+                                  r[0], r[1], r[2], rad2, bid, ok, occf]
+
+        # chunk 0, slot 0: t=2 hit, bid 5 (ties with slot 300's t).
+        put(0, (0, 0, -1.0), -2.0, (0, 0, 2.0), 0.01, 5.0)
+        # chunk 0, slot 1: occluder event at t=1.5 (ok but occf=1).
+        put(1, (0, 0, -1.0), -1.5, (0, 0, 1.5), 0.01, 6.0, occf=1.0)
+        # chunk 0, slot 2: ok=0 -> would be the nearest (t=1), must not hit.
+        put(2, (0, 0, -1.0), -1.0, (0, 0, 1.0), 0.01, 7.0, ok=0.0)
+        # chunk 3, slot 300: same ray-t 2.0 (scaled eq), LARGER bid 9 ->
+        # the tie-break winner; its (unnormalized) normal tags the output.
+        put(300, (0, 0, -2.0), -4.0, (0, 0, 2.0), 0.01, 9.0)
+
+        h, w_pad, n_ut = 8, 128, 1
+        params = np.zeros((32,), np.float32)
+        params[0], params[4], params[8] = 1.0, 1.0, 1.0  # identity rot
+        params[12:18] = [100.0, 100.0, 64.0, 4.0, 0.3, n_ut]  # fx fy cx cy zmin
+        params[18] = 0.01  # voxel size (unused by the kernel math here)
+
+        out = pl.pallas_call(
+            _kernel,
+            grid=(1 * n_ut, max_ct // CHUNK),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, CHUNK, N_PREP), lambda g, k: (g, k, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (9, 8, 128), lambda g, k: (0, g // n_ut, g % n_ut)
+            ),
+            out_shape=jax.ShapeDtypeStruct((9, h, w_pad), jnp.float32),
+            interpret=True,
+        )(jnp.asarray(params), jnp.asarray(cand))
+        out = np.asarray(out)
+
+        # Pixel (v=4, u=64) is the optical axis: ray dir (0, 0, 1).
+        v, u = 4, 64
+        assert abs(out[0, v, u] - 2.0) < 1e-5          # depth: min valid t
+        assert out[7, v, u] == 9.0                     # tie -> larger bid
+        assert abs(out[6, v, u] - (-2.0)) < 1e-5       # winner's normal row
+        assert abs(out[8, v, u] - 1.5) < 1e-5          # occluder event min
+        assert abs(out[3, v, u] - 2.0) < 1e-5          # hit position z
+        # A far-off-axis ray misses every support sphere: empty/invalid.
+        assert out[0, 0, 0] == 0.0 and out[7, 0, 0] == -1.0
+        assert out[8, 0, 0] >= 1e8                     # BIG = no occluder
