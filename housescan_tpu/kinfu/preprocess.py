@@ -33,10 +33,20 @@ def bilateral_filter(
     ``depth`` is (H, W) meters with 0 = invalid. The (2r+1)^2 window is
     unrolled at trace time into shifted copies — XLA fuses the whole
     filter into one elementwise loop, no convolution or gather needed.
+
+    The range weight is a BIWEIGHT polynomial (1 - (dd/3sigma)^2)_+^2
+    rather than PCL's Gaussian: a runtime ``exp`` per tap was ~60% of
+    the whole preprocess stage on the TPU (49 transcendentals per pixel
+    per frame), while the biweight is 3 VPU ops with the same
+    edge-preserving shape — hard zero beyond 3 sigma (the Gaussian
+    leaks a 1% tail across edges), 0.79 vs 0.61 at 1 sigma. The spatial
+    Gaussian term is a compile-time constant per tap and stays.
     """
+    import math as _math
+
     valid = depth > 0
     inv_2ss = 0.5 / (sigma_space * sigma_space)
-    inv_2sd = 0.5 / (sigma_depth * sigma_depth)
+    inv_9sd2 = 1.0 / (9.0 * sigma_depth * sigma_depth)
 
     weight_sum = jnp.zeros_like(depth)
     value_sum = jnp.zeros_like(depth)
@@ -45,7 +55,8 @@ def bilateral_filter(
             shifted = _shift2d(depth, dy, dx)
             ok = (shifted > 0) & valid
             dd = shifted - depth
-            w = jnp.exp(-(dy * dy + dx * dx) * inv_2ss - dd * dd * inv_2sd)
+            wr = jnp.maximum(0.0, 1.0 - dd * dd * inv_9sd2)
+            w = _math.exp(-(dy * dy + dx * dx) * inv_2ss) * wr * wr
             w = jnp.where(ok, w, 0.0)
             weight_sum = weight_sum + w
             value_sum = value_sum + w * shifted

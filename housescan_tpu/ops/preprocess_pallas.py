@@ -5,8 +5,9 @@ shift-stack; even fused, several hundred ops pay this backend's per-op
 issue latency every frame. Here the same arithmetic runs as ONE kernel:
 the depth image lives in VMEM and every tap is a register-level
 rotate + select, so the whole filter is a single program with no
-per-op dispatch. Numerics are identical to the XLA path (same Gaussian
-weights, same 0 = invalid convention, same border masking).
+per-op dispatch. Numerics are identical to the XLA path (same
+Gaussian-spatial x biweight-range weights, same 0 = invalid convention,
+same border masking).
 
 Reference: PCL KinFu's bilateral CUDA kernel (SURVEY.md section 2b).
 """
@@ -31,7 +32,7 @@ def _kernel(depth, out, *, radius, sigma_space, sigma_depth):
     cols = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
 
     inv_2ss = 0.5 / (sigma_space * sigma_space)
-    inv_2sd = 0.5 / (sigma_depth * sigma_depth)
+    inv_9sd2 = 1.0 / (9.0 * sigma_depth * sigma_depth)
 
     def shift(m, dy, dx):
         """m shifted so position p holds m[p - (dy, dx)], zero fill —
@@ -59,9 +60,12 @@ def _kernel(depth, out, *, radius, sigma_space, sigma_depth):
             shifted = shift(reg, dy, dx)
             ok = (shifted > 0.0) & valid
             dd = shifted - reg
-            w = math.exp(-(dy * dy + dx * dx) * inv_2ss) * jnp.exp(
-                -dd * dd * inv_2sd
-            )
+            # Biweight range kernel (see kinfu/preprocess.bilateral_filter):
+            # 49 runtime transcendentals per pixel were most of this
+            # kernel's VPU time; the polynomial matches the XLA path
+            # bit-for-bit.
+            wr = jnp.maximum(0.0, 1.0 - dd * dd * inv_9sd2)
+            w = math.exp(-(dy * dy + dx * dx) * inv_2ss) * wr * wr
             w = jnp.where(ok, w, 0.0)
             weight_sum = weight_sum + w
             value_sum = value_sum + w * shifted
