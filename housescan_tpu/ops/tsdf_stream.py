@@ -64,8 +64,10 @@ WIN_V = 32
 # the cost is a slightly earlier mip-level bump (span_u <= 60*2^l instead
 # of 120*2^l) for mid-distance chunks.
 WIN_U = 128
-L3_V = 64
-L3_U = 256
+# The whole-image L3 fallback window is sized DYNAMICALLY to the /8
+# image in build_depth_mips (e.g. (64, 128) at 640x480) — L3 chunks
+# dominate the band path's MXU MACs, so fixed worst-case padding there
+# multiplied zeros for most cameras.
 CHUNK_Z = 128
 BIG = 1.0e9
 NSUB_C = CHUNK_Z // SUB_Z  # sub-blocks (planes) per chunk
@@ -462,17 +464,63 @@ def _process_half(
 
         # Metric depth through a DEFAULT-precision (1-pass bf16) dot:
         # split the window into an exactly-bf16 hi part plus its
-        # residual and stack them on the ROW axis of ONE dot — these
-        # small matmuls are issue-latency-bound (~0.3-1us each, 8 per
-        # tile), so doubling rows is nearly free while a HIGHEST pin
-        # (6-pass f32 emulation) measured -19 fps on the 512^3 bench.
-        # hi lands exactly; lo's own bf16 truncation leaves ~2^-17
-        # relative depth error (~0.04 mm at 5 m). wc is exact by
-        # construction (see weights()).
+        # residual and stack them on the ROW axis of ONE dot. hi lands
+        # exactly; lo's own bf16 truncation leaves ~2^-17 relative
+        # depth error (~0.04 mm at 5 m). wc is exact by construction
+        # (see weights()). These dots are the band path's MXU-cycle
+        # floor (time ~ rows x 128 x Z), so the row doubling costs real
+        # milliseconds at 512^3 — but a HIGHEST pin (6-pass f32
+        # emulation) measured far worse (-19 fps on the 512^3 bench).
         w_hi = window.astype(jnp.bfloat16).astype(jnp.float32)
         w_lo = window - w_hi
 
-        @pl.when(all_valid)
+        # COLUMN-FLAT fast path: when every window column's depth range
+        # is small, split against a per-column exactly-bf16 base
+        # instead: d = bilerp(window - base) + lerp_u(base) (the base
+        # row's v-weight sum is exactly 1 for in-support samples). The
+        # shift is Sterbenz-exact in f32 and small enough (<= range/2 +
+        # the base's own bf16 snap, ~36 mm worst case) that the MXU's
+        # bf16 truncation of it leaves <= ~0.07 mm — same class as the
+        # hi/lo residual — while the dot shrinks from 2n to n+8 rows
+        # (-37%). Walls pass the gate at any u-obliquity (the per-column
+        # base absorbs the u-slope); grazing floors and silhouette
+        # windows fall back to hi/lo. Gate and base depend only on the
+        # window, so mesh-sharded and single-chip runs branch
+        # identically (bit-exact parity preserved).
+        cmax = jnp.max(window, axis=0, keepdims=True)
+        cmin = jnp.min(window, axis=0, keepdims=True)
+        base = ((cmax + cmin) * 0.5).astype(jnp.bfloat16).astype(
+            jnp.float32
+        )  # (1, win_u)
+        col_flat = jnp.max(cmax - cmin) <= 0.04
+
+        @pl.when(all_valid & col_flat)
+        def _():
+            win_sb = jnp.concatenate(
+                [window - base, base, jnp.zeros((7, win_u), jnp.float32)],
+                axis=0,
+            )  # (nrows + 8, win_u)
+
+            def get_depth_tile(uf, vf):
+                d_rows = []
+                for iy in range(8):
+                    wc, wr = weights(uf, vf, iy)
+                    t2s = jax.lax.dot_general(
+                        win_sb,
+                        wc,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (nrows + 8, Z)
+                    d_rows.append(
+                        (jnp.sum(t2s[:nrows] * wr, axis=0) + t2s[nrows])
+                        .reshape(1, CHUNK_Z)
+                    )
+                d = jnp.concatenate(d_rows, axis=0)
+                return d, support(uf, vf)
+
+            update_tiles(get_depth_tile)
+
+        @pl.when(all_valid & ~col_flat)
         def _():
             win_hl = jnp.concatenate([w_hi, w_lo], axis=0)
 
@@ -569,7 +617,7 @@ def _process_half(
 
         @pl.when(lvl == 3)
         def _():
-            band_update(l3[...], L3_V, scale, 0.0, 0.0)
+            band_update(l3[...], l3.shape[0], scale, 0.0, 0.0)
 
     @pl.when((cls == CLS_BAND) & (0 == (1 if ablate == "no_band" else 0)))
     def _():
@@ -937,51 +985,69 @@ def _free_kernel(
 
 
 def _pad_to(m: jnp.ndarray, rows_mult: int, cols_to: int) -> jnp.ndarray:
-    """Zero-pad to aligned dims with the last REAL row/col REPLICATED
-    once into the padding. A bilinear footprint at the image's last
-    row/col extends one sample past the mip's real grid; with zero
-    padding those windows either lose the sample (no update: a band of
-    unobserved voxels along the image border) or renormalize against
-    the edge pixel asymmetrically. Replication makes the border lookup
-    nearest-row/col extrapolation — exact on the border pixel itself,
-    sub-mm on smooth surfaces — and keeps border windows on the
-    all-valid fast path. Dims are padded from h+1/w+1 so the replica
-    always fits; ops/chunk_select.py mirrors the same formulas."""
+    """EDGE-pad to aligned dims (last real row/col replicated through
+    ALL the padding). Two reasons, both about the band kernel:
+
+      * A bilinear footprint at the image's last row/col extends one
+        sample past the mip's real grid; replication makes that border
+        lookup nearest-row/col extrapolation — exact on the border
+        pixel itself, sub-mm on smooth surfaces.
+      * Zero padding reads as INVALID depth, and a single zero anywhere
+        in a window pushes the whole window onto the 3n-row
+        renormalized band path even though in-view samples never put
+        nonzero hat weight past the first replica (tile_coords'
+        in_view test caps uf/vf at the REAL image bounds). Edge values
+        keep padding-only windows on the 2n all-valid fast path — on a
+        fully-valid frame that is every band chunk, including the
+        whole-image L3 window. Real in-image invalid pixels (depth 0)
+        still force the renormalized path, as they must.
+
+    Dims are padded from h+1/w+1 so the bilinear replica always fits;
+    ops/chunk_select.py mirrors the same formulas."""
     h, w = m.shape
     hp = max(-(-(h + 1) // rows_mult) * rows_mult, WIN_V)
     wp = max(cols_to, -(-(w + 1) // 128) * 128, WIN_U)
-    out = jnp.zeros((hp, wp), jnp.float32)
-    out = out.at[:h, :w].set(m)
-    out = out.at[h, :w].set(m[h - 1])
-    out = out.at[:h, w].set(m[:, w - 1])
-    return out.at[h, w].set(m[h - 1, w - 1])
+    return jnp.pad(m, ((0, hp - h), (0, wp - w)), mode="edge")
 
 
 def _shift64(m: jnp.ndarray) -> jnp.ndarray:
-    """64-px-left-shifted copy: shifted[:, i] = m[:, i + 64] (0 padded).
+    """64-px-left-shifted copy: shifted[:, i] = m[:, i + 64] (edge pad).
 
     Lets a 64-aligned window origin slice 128-aligned lanes: an odd
-    64-slot u0 reads shifted[:, u0-64 : u0+64] == m[:, u0 : u0+128]."""
-    return jnp.pad(m[:, 64:], ((0, 0), (0, 64)))
+    64-slot u0 reads shifted[:, u0-64 : u0+64] == m[:, u0 : u0+128].
+    The new right tail replicates the last column — identical to the
+    edge padding those columns hold in ``m`` itself."""
+    return jnp.pad(m[:, 64:], ((0, 0), (0, 64)), mode="edge")
 
 
 def build_depth_mips(depth: jnp.ndarray):
-    """L0..L2 padded mips (+ 64-px-shifted copies) + the (64, 256) L3
-    (0 = invalid depth)."""
+    """L0..L2 padded mips (+ 64-px-shifted copies) + the whole-image L3
+    window (0 = invalid depth; padding is edge-replicated, see _pad_to).
+
+    L3 is sized to the /8 image — (64, 128) for 640x480 instead of a
+    fixed (64, 256) worst case. L3-window chunks are ~3/4 of the band
+    path's MXU MACs at 512^3 (they pay rows x L3_U x 128 per tile dot),
+    and hat weights past the image edge are zero, so the fixed wide
+    window only multiplied zeros. Mip halving runs as the same exact
+    one-hot MXU selection as kinfu/maps.halve_maps — a [::2, ::2]
+    strided slice is a gather-class op on this backend (~9 ns/element,
+    ~0.9 ms for the three mip levels)."""
+    from housescan_tpu.kinfu.maps import halve_maps
+
+    assert depth.shape[0] % 8 == 0 and depth.shape[1] % 8 == 0, depth.shape
     d0 = depth
-    d1 = d0[::2, ::2]
-    d2 = d1[::2, ::2]
-    d3 = d2[::2, ::2]
+    d1 = halve_maps(d0[None])[0]
+    d2 = halve_maps(d1[None])[0]
+    d3 = halve_maps(d2[None])[0]
 
     w = depth.shape[1]
     m0 = _pad_to(d0, 8, -(-w // 128) * 128)
     m1 = _pad_to(d1, 8, -(-d1.shape[1] // 128) * 128)
     m2 = _pad_to(d2, 8, -(-d2.shape[1] // 128) * 128)
     h3, w3 = d3.shape
-    l3 = jnp.zeros((L3_V, L3_U), jnp.float32).at[:h3, :w3].set(d3)
-    l3 = l3.at[h3, :w3].set(d3[h3 - 1])
-    l3 = l3.at[:h3, w3].set(d3[:, w3 - 1])
-    l3 = l3.at[h3, w3].set(d3[h3 - 1, w3 - 1])
+    l3_v = max(-(-(h3 + 1) // 8) * 8, 8)
+    l3_u = max(-(-(w3 + 1) // 128) * 128, 128)
+    l3 = jnp.pad(d3, ((0, l3_v - h3), (0, l3_u - w3)), mode="edge")
     return m0, m1, m2, _shift64(m0), _shift64(m1), _shift64(m2), l3
 
 
