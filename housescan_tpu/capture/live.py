@@ -95,10 +95,14 @@ class OpenNIDevice:
         h = int(mode.resolutionY)
         fps = float(mode.fps) if getattr(mode, "fps", 0) else 30.0
         cfg = config or CameraConfig()
-        s = w / cfg.width
+        # Scale each axis by ITS OWN ratio and scale the calibrated
+        # principal point instead of recentering: non-4:3 video modes
+        # and off-center calibrations keep correct intrinsics.
+        sx = w / cfg.width
+        sy = h / cfg.height
         intr = Intrinsics(
-            width=w, height=h, fx=cfg.fx * s, fy=cfg.fy * s,
-            cx=w / 2 - 0.5, cy=h / 2 - 0.5,
+            width=w, height=h, fx=cfg.fx * sx, fy=cfg.fy * sy,
+            cx=cfg.cx * sx, cy=cfg.cy * sy,
         )
         return cls(openni2, stream, intr, fps, cfg.depth_scale)
 
@@ -119,9 +123,11 @@ class OpenNIDevice:
         arr = np.frombuffer(buf, dtype=np.uint16).reshape(
             self.intrinsics.height, self.intrinsics.width
         ).copy()  # the driver recycles its buffer; detach before queueing
-        # OpenNI timestamps are microseconds from stream start.
-        ts_us = getattr(frame, "timestamp", 0)
-        ts = ts_us / 1e6 if ts_us else time.monotonic() - self._t0
+        # OpenNI timestamps are microseconds from stream start. The
+        # first frame legitimately stamps 0 — only a MISSING attribute
+        # falls back to the wall clock, not a falsy value.
+        ts_us = getattr(frame, "timestamp", None)
+        ts = ts_us / 1e6 if ts_us is not None else time.monotonic() - self._t0
         return arr, ts
 
     def stop(self):
@@ -264,8 +270,10 @@ def open_live_source(
     with a warning (fail-soft, ref Main.hs:1288-1289)."""
     try:
         return LiveSource(OpenNIDevice.open(config))
-    except DeviceNotFound:
-        pass
+    except DeviceNotFound as e:
+        # Say WHY the real camera didn't bind (an attached-but-
+        # misconfigured camera should not silently become a fake device).
+        print(f"live capture: {e}", file=sys.stderr)
     fake = os.environ.get("HOUSESCAN_FAKE_DEVICE")
     if fake and os.path.exists(fake):
         return LiveSource(FakeDevice.open(fake, realtime=realtime))

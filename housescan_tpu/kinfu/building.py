@@ -44,8 +44,9 @@ class RoomScan:
     """One room's input to a building scan.
 
     ``known_poses`` fuses the room at externally-known camera poses
-    (kinfu/scan.py known_poses) instead of tracking — single-chip rooms
-    only."""
+    (kinfu/scan.py known_poses) instead of tracking — honored on BOTH
+    the single-chip and the sharded route (the sharded step takes the
+    same per-frame forced_pose)."""
 
     name: str
     stream: DepthStream
@@ -121,7 +122,15 @@ def _scan_room_sharded(
     for k, frame in enumerate(room.stream):
         if k < start_frame:
             continue
-        state = step(state, jnp.asarray(frame))
+        state = step(
+            state,
+            jnp.asarray(frame),
+            forced_pose=(
+                None
+                if room.known_poses is None
+                else jnp.asarray(room.known_poses[k])
+            ),
+        )
         poses.append(np.asarray(state.pose))
         if checkpoint_every and (k + 1) % checkpoint_every == 0:
             from housescan_tpu.kinfu.scan_checkpoint import save_scan_state

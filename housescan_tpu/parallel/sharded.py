@@ -346,12 +346,81 @@ def make_sharded_step(
             jax.lax.psum(sq, axis),
         )
 
+    def _fuse(state, raw_depth, new_pose, tracked):
+        """Integrate + re-render at ``new_pose`` (dropped frames fuse
+        an all-invalid depth and keep the previous model maps)."""
+        raw_depth = jnp.where(tracked, raw_depth, jnp.zeros_like(raw_depth))
+        vol = state.volume
+        if use_pallas:
+            data, planes = integrate_shards_pallas(
+                vol.data, state.planes, vol.origin, vol.voxel_size,
+                vol.trunc, raw_depth, new_pose,
+            )
+            volume = vol._replace(data=data)
+            raw = raycast_shards_pallas(
+                volume.data, planes, volume.origin, volume.voxel_size,
+                volume.trunc, new_pose,
+            )
+            from housescan_tpu.ops.raycast_pallas import finalize_plane_maps
+
+            model_maps = finalize_plane_maps(
+                raw, voxel_size=volume.voxel_size
+            )
+        else:
+            planes = state.planes
+            tsdf, weight = integrate_shards(
+                vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc,
+                raw_depth, new_pose,
+            )
+            volume = vol.replace_grids(tsdf=tsdf, weight=weight)
+
+            verts, valid, _depth = raycast_shards(
+                volume.tsdf, volume.weight, volume.origin, volume.voxel_size,
+                volume.trunc, new_pose,
+            )
+            # Normals from the combined vertex map (replicated, small).
+            rot = new_pose[:3, :3]
+            v_cam = jnp.where(
+                valid[..., None], mm(verts - new_pose[3, :3], rot.T), 0.0
+            )
+            n_cam = vertex_normals(v_cam)
+            normals = mm(n_cam, rot)
+            valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
+            model_maps = mp.model_from_hwc(
+                jnp.where(valid[..., None], verts, 0.0),
+                jnp.where(valid[..., None], normals, 0.0),
+                valid,
+                _depth,
+            )
+
+        model_maps = jnp.where(tracked, model_maps, state.model_maps)
+        return ShardedKinFuState(
+            volume=volume,
+            planes=planes,
+            pose=new_pose,
+            model_maps=model_maps,
+            frame_index=state.frame_index + 1,
+        )
+
     @jax.jit
-    def step(state: ShardedKinFuState, raw_depth: jnp.ndarray) -> ShardedKinFuState:
+    def step(
+        state: ShardedKinFuState,
+        raw_depth: jnp.ndarray,
+        forced_pose: jnp.ndarray = None,
+    ) -> ShardedKinFuState:
+        """``forced_pose`` fuses the frame at an externally-known
+        camera pose instead of tracking (kinfu_step's forced_pose,
+        threaded here so building scans with known_poses can route
+        rooms to the sharded volume too)."""
+        is_first = state.frame_index == 0
+
+        if forced_pose is not None:
+            new_pose = jnp.asarray(forced_pose, jnp.float32)
+            tracked = jnp.asarray(True)  # known pose: always fuse
+            return _fuse(state, raw_depth, new_pose, tracked)
+
         pyr = build_pyramid(raw_depth, intr, levels=levels)
         model_pyr = mp.build_map_pyramid(state.model_maps, levels)
-
-        is_first = state.frame_index == 0
 
         if use_pallas:
             # The production tracker, replicated: the model maps are
@@ -408,7 +477,15 @@ def make_sharded_step(
             lv0, ln0 = mp.live_to_hwc(pyr.maps[0])
             mv0, mn0, mok0, _ = mp.model_to_hwc(model_pyr[0])
             gu0, gv0 = _model_gradients(mv0, mok0)
-            icp_corr = jnp.asarray(0, jnp.int32)
+            # Diagnostics from the FINEST level that actually had
+            # correspondences, exactly like icp_track: the fine level's
+            # identity-class association only engages at sub-pixel
+            # projective flow (its ±1.5 px gate), so a normal-motion
+            # frame legitimately reports nc=0 here — overwriting the
+            # coarse count with that 0 made the tracking-loss gate drop
+            # EVERY frame and freeze the pose at init (caught by the
+            # 20-frame free-running orbit test this round).
+            icp_corr = coarse.n_corr
             for _ in range(iterations[0]):
                 a, b, nc, _sq = fine_normal_equations(
                     lv0, ln0, mv0, mn0, mok0, gu0, gv0, pose, state.pose,
@@ -416,7 +493,7 @@ def make_sharded_step(
                 )
                 x, ok = _solve_increment(a, b)
                 pose = jnp.where(ok, mm(pose, _twist_to_proj(x)), pose)
-                icp_corr = nc
+                icp_corr = jnp.where(nc > 0, nc, icp_corr)
 
         new_pose = jnp.where(is_first, state.pose, pose)
 
@@ -432,59 +509,7 @@ def make_sharded_step(
             | (model_px < 4 * min_corr)
         )
         new_pose = jnp.where(tracked, new_pose, state.pose)
-        raw_depth = jnp.where(
-            tracked, raw_depth, jnp.zeros_like(raw_depth)
-        )
-
-        vol = state.volume
-        if use_pallas:
-            data, planes = integrate_shards_pallas(
-                vol.data, state.planes, vol.origin, vol.voxel_size,
-                vol.trunc, raw_depth, new_pose,
-            )
-            volume = vol._replace(data=data)
-            raw = raycast_shards_pallas(
-                volume.data, planes, volume.origin, volume.voxel_size,
-                volume.trunc, new_pose,
-            )
-            from housescan_tpu.ops.raycast_pallas import finalize_plane_maps
-
-            model_maps = finalize_plane_maps(
-                raw, voxel_size=volume.voxel_size
-            )
-        else:
-            planes = state.planes
-            tsdf, weight = integrate_shards(
-                vol.tsdf, vol.weight, vol.origin, vol.voxel_size, vol.trunc, raw_depth, new_pose
-            )
-            volume = vol.replace_grids(tsdf=tsdf, weight=weight)
-
-            verts, valid, _depth = raycast_shards(
-                volume.tsdf, volume.weight, volume.origin, volume.voxel_size, volume.trunc, new_pose
-            )
-            # Normals from the combined vertex map (replicated, small).
-            rot = new_pose[:3, :3]
-            v_cam = jnp.where(
-                valid[..., None], mm(verts - new_pose[3, :3], rot.T), 0.0
-            )
-            n_cam = vertex_normals(v_cam)
-            normals = mm(n_cam, rot)
-            valid = valid & (jnp.sum(n_cam * n_cam, axis=-1) > 0.25)
-            model_maps = mp.model_from_hwc(
-                jnp.where(valid[..., None], verts, 0.0),
-                jnp.where(valid[..., None], normals, 0.0),
-                valid,
-                _depth,
-            )
-
-        model_maps = jnp.where(tracked, model_maps, state.model_maps)
-        return ShardedKinFuState(
-            volume=volume,
-            planes=planes,
-            pose=new_pose,
-            model_maps=model_maps,
-            frame_index=state.frame_index + 1,
-        )
+        return _fuse(state, raw_depth, new_pose, tracked)
 
     return step
 

@@ -265,9 +265,9 @@ class TestShardedMidRoomResume:
         def counted_make(*a, **kw):
             step = real_make(*a, **kw)
 
-            def stepped(state, frame):
+            def stepped(state, frame, **kw):
                 calls.append(1)
-                return step(state, frame)
+                return step(state, frame, **kw)
 
             return stepped
 

@@ -232,8 +232,11 @@ class TestOpenNIBinding:
         dev.start()
         frame, ts = dev.read_frame()
         assert frame.dtype == np.uint16 and frame.shape == (120, 160)
+        assert ts == pytest.approx(0.0)  # timestamp-0 first frame is real
         assert float(frame[0, 0]) * dev.depth_scale == pytest.approx(1.5)
-        assert dev.read_frame() is not None or True  # second read ends stream
+        # The fake stream raises on the second read: the device layer
+        # must turn that into a clean end-of-stream None.
+        assert dev.read_frame() is None
 
     def test_no_device_answers(self, monkeypatch):
         from housescan_tpu.capture.live import DeviceNotFound, OpenNIDevice

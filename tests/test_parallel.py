@@ -62,18 +62,61 @@ class TestShardedFusion:
             np.asarray(state.volume.weight), np.asarray(ref.weight)
         )
 
-    def test_sharded_tracking_two_frames(self, mesh, stream):
+    def test_xla_sharded_free_running_orbit(self, mesh):
+        """20-frame FREE-RUNNING tracking on the XLA demonstrator path
+        (the fallback for non-(8,8,128)-tileable volumes): final pose
+        error must stay voxel-scaled — this replaces a 3-frame 70 mm
+        smoke bound that a FROZEN pose could pass (the per-frame orbit
+        motion is ~4.8 mm, so 3 frames of no tracking measured 9.5 mm;
+        20 frames of no tracking measure ~90 mm and fail loudly here).
+        That exact failure existed: the fine sharded GN loop reports 0
+        correspondences whenever projective flow exceeds its ±1.5 px
+        identity-association gate, and overwriting the coarse count
+        with it made the tracking-loss gate drop every frame
+        (parallel/sharded.py icp_corr)."""
+        half, boxes = furnished_room()
+        n = 20
+        poses = orbit_poses(n + 1, radius=0.25, yaw_range=0.02 * n, pitch=0.25)
+        frames = render_depth_stream(INTR, poses, half, boxes=boxes)
+        state = sharded_kinfu_init(
+            mesh, INTR, resolution=64, size_m=3.0, trunc=0.1,
+            init_pose=jnp.asarray(poses[0]),
+        )
+        step = make_sharded_step(mesh, INTR, max_raycast_steps=48)
+        for i in range(n):
+            state = step(state, jnp.asarray(frames[i]))
+        err = float(
+            np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[n - 1][3, :3])
+        )
+        voxel = 3.0 / 64
+        # Measured 9.4 mm at head (0.2 voxel); 0.5 voxel bounds it with
+        # headroom while failing both frozen-pose (90 mm) and
+        # voxel-scale drift regressions.
+        assert err < 0.5 * voxel, (
+            f"XLA-sharded free-running err {err*1000:.1f} mm "
+            f"(voxel {voxel*1000:.0f} mm)"
+        )
+        from housescan_tpu.kinfu import maps as mp
+
+        assert float(jnp.mean(state.model_maps[mp.MD_VALID])) > 0.5
+
+    def test_sharded_forced_pose(self, mesh, stream):
+        """known_poses routing on the sharded step (kinfu/building.py
+        threads RoomScan.known_poses here): the frame fuses at the
+        externally-known pose — bit-exact — and tracking is skipped."""
         poses, frames = stream
         state = sharded_kinfu_init(
             mesh, INTR, resolution=64, size_m=3.0, trunc=0.1,
             init_pose=jnp.asarray(poses[0]),
         )
         step = make_sharded_step(mesh, INTR, max_raycast_steps=48)
-        for i in range(3):
-            state = step(state, jnp.asarray(frames[i]))
-        err = float(jnp.linalg.norm(state.pose[3, :3] - jnp.asarray(poses[2])[3, :3]))
-        # 64^3 voxels are 47mm; tracking within ~1.5 voxels is healthy here
-        assert err < 0.07, f"sharded tracking err {err*1000:.1f}mm"
+        for k in range(3):
+            state = step(
+                state, jnp.asarray(frames[k]), forced_pose=jnp.asarray(poses[k])
+            )
+        assert np.array_equal(
+            np.asarray(state.pose), poses[2].astype(np.float32)
+        )
         from housescan_tpu.kinfu import maps as mp
 
         assert float(jnp.mean(state.model_maps[mp.MD_VALID])) > 0.5
@@ -96,11 +139,9 @@ class TestShardedFusion:
         Returns (records, final free-running pose, final single-chip
         pose, ground-truth final pose).
         """
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from housescan_tpu.kinfu import maps as mp
         from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
-        from housescan_tpu.parallel.mesh import VOLUME_AXIS
+        from housescan_tpu.parallel.sharded import sharded_state_from_single
 
         half, boxes = furnished_room()
         n = 20
@@ -120,21 +161,11 @@ class TestShardedFusion:
             INTR, resolution=128, size_m=3.0, trunc=0.06,
             init_pose=jnp.asarray(poses[0]), dtype=jnp.int32,
         )
-        vol_sh = NamedSharding(mesh, P(VOLUME_AXIS, None, None))
-        pl_sh = NamedSharding(mesh, P(VOLUME_AXIS))
-        rep = NamedSharding(mesh, P())
-
         def resync(ref):
-            """Mirror the single-chip state into the sharded layout."""
-            return sh0._replace(
-                volume=sh0.volume._replace(
-                    data=jax.device_put(np.asarray(ref.volume.data), vol_sh)
-                ),
-                planes=jax.device_put(np.asarray(ref.planes), pl_sh),
-                pose=jax.device_put(np.asarray(ref.pose), rep),
-                model_maps=jnp.asarray(np.asarray(ref.model_maps)),
-                frame_index=jnp.asarray(np.asarray(ref.frame_index)),
-            )
+            """Mirror the single-chip state into the sharded layout —
+            the SAME scatter helper checkpoint resume and the driver
+            dryrun use (one schema, one certification)."""
+            return sharded_state_from_single(mesh, ref, use_pallas=True)
 
         free = sh0
         records = []
