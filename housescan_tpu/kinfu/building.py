@@ -273,6 +273,7 @@ def scan_building(
         loaded.append(r)
 
     # ---- batched cuboid fit: one device launch for the whole floor ----
+    fit_rmse: dict = {}
     fit_idx = [i for i, r in enumerate(loaded) if len(r.corners) >= 8]
     fitted = list(loaded)
     if fit_idx:
@@ -293,8 +294,9 @@ def scan_building(
             fits = jax.jit(fit_cuboid_batch)(batch)
         for row, i in enumerate(fit_idx):
             new_room = apply_cuboid_fit(scene, loaded[i], fits.params[row])
+            rmse = float(np.sqrt(np.asarray(fits.error[row])))
+            fit_rmse[rooms[i].name] = rmse
             if progress:
-                rmse = float(np.sqrt(np.asarray(fits.error[row])))
                 print(f"  {rooms[i].name}: cuboid RMSE {rmse*1000:.2f} mm")
             fitted[i] = new_room
 
@@ -354,5 +356,16 @@ def scan_building(
             print(f"  aligned {axis.name} ({nc} constraints) RMSE {rmse:.5f}")
     fitted = [scene.rooms[r.room_id] for r in fitted]
 
+    # Assembly diagnostics land in the building checkpoint so callers
+    # (and tests) can verify every stage ENGAGED — a silently skipped
+    # fit/connect/optimize is observable, not just printed.
+    bc_path.write_text(json.dumps({
+        "rooms_done": done,
+        "fit_rmse": fit_rmse,
+        "n_wall_connections": len(scene.connected_walls),
+        "optimize": [
+            [axis.name, int(nc), float(rmse)] for axis, nc, rmse in results
+        ],
+    }))
     export_all_room_xf_files(scene, out_dir / "xf")
     return scene, fitted, out_dir

@@ -107,21 +107,50 @@ def _associate(
 
 
 def _solve_increment(
-    a: jnp.ndarray, b: jnp.ndarray, damping: float = 3e-4, max_step: float = 0.3
+    a: jnp.ndarray, b: jnp.ndarray, damping: float = 3e-4, max_step: float = 0.3,
+    null_threshold: float = 1e-2,
 ):
-    """Solve the 6x6 system with scale-relative Tikhonov damping.
+    """Solve the 6x6 system with scale-relative Tikhonov damping and a
+    NULL-SPACE gate.
 
-    The damping matters for degenerate geometry (a single flat wall fills
-    the view — common mid-scan in real rooms): the normal matrix then has
-    a near-zero eigenvalue along the unconstrained directions, and tiny
-    noise in the raycast model would otherwise push large steps along
-    them. Relative damping bounds those steps while leaving the
-    well-conditioned directions essentially untouched; ``max_step`` caps
-    any single twist update (radians / meters) as a backstop.
+    Both matter for degenerate geometry (a single flat wall fills the
+    view — common mid-scan in real rooms): the normal matrix then has
+    near-zero eigenvalues along the unconstrained directions. Damping
+    alone is NOT enough: the unconstrained direction's gradient b_null
+    is fed almost entirely by the raycast model's one-signed silhouette
+    bias (PERFORMANCE.md), and the damped solve steps it by
+    b_null/(damping*scale) — measured as a confident 20-40 mm/frame
+    slide along a bare wall (rmse under 1 mm while the pose runs away).
+    So the step uses the ITERATED-TIKHONOV spectral filter
+
+        x = (A + lam I)^-1 A (A + lam I)^-1 b,   lam = null_threshold*scale
+
+    whose per-eigendirection gain is w/(w+lam)^2: ~1/w (an undamped GN
+    step) for observable directions w >> lam, and ~w/lam^2 -> 0 for
+    unobservable ones — an unobservable direction simply does not move
+    (PCL KinFu's condition check is the blunt ancestor of this — it
+    freezes the whole pose; filtering per-direction keeps tracking the
+    observable five). Unlike a hard eigenvalue gate this needs no
+    eigendecomposition — one extra 6x6 matvec and a second triangular
+    solve reusing the same factorization — so the fused Pallas scalar
+    kernel (ops/solve6_pallas.py) applies the IDENTICAL formula.
+    ``max_step`` caps any single twist update (radians / meters) as a
+    backstop.
+
+    Threshold choice (measured, bare-wall view in the flat synthetic
+    room): the unobservable cluster sits at w/w_max <= 3e-4 and the
+    observed directions at >= 4e-2 — lam at 1e-2 x scale splits the gap
+    (null steps attenuated ~30x, dominant directions touched <2%).
+    Plain damping at 1e-4-1e-2 was tried and failed: the bare-wall
+    slide rode an eigenvalue of 2.8e-4 x w_max, where a damped solve
+    still steps b_null/lam (a 12 cm step from the silhouette-bias
+    gradient alone).
     """
     scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(a))), 1e-12)
-    a_d = a + damping * scale * jnp.eye(6, dtype=a.dtype)
-    x = jnp.linalg.solve(a_d, b)
+    lam = jnp.maximum(damping, null_threshold) * scale
+    a_d = a + lam * jnp.eye(6, dtype=a.dtype)
+    z = jnp.linalg.solve(a_d, b)
+    x = jnp.linalg.solve(a_d, mm(a, z))
     norm0 = jnp.linalg.norm(x)
     # >1e3 rad/m pre-clamp only arises from a degenerate system (e.g. an
     # all-zero A with nonzero b solves to a finite-but-huge step through

@@ -35,13 +35,41 @@ class DetectedPlanes(NamedTuple):
     inlier_of: jnp.ndarray  # (N,) int32 — plane index per point, -1 = none
 
 
-def _hypothesis_planes(points: jnp.ndarray, key, n_hyp: int):
-    """(H, 3) unit normals + (H,) d from random point triples."""
+def _hypothesis_planes(points: jnp.ndarray, key, n_hyp: int, k_local: int = 96):
+    """(H, 3) unit normals + (H,) d from random point triples.
+
+    HALF the hypotheses use global triples (best tilt accuracy on large
+    planes), half use LOCAL triples — an anchor point plus the two
+    nearest of ``k_local`` random candidates. Local sampling is what
+    finds SMALL planes: a patch holding fraction f of the cloud is hit
+    by a global triple with probability f^3 (a 2% floor patch: ~1 in
+    10^5 — measured to miss entirely at 1024 hypotheses) but by a local
+    triple with probability ~f, since the anchor alone decides the
+    patch and the neighbors follow it onto the same surface."""
     n = points.shape[0]
-    idx = jax.random.randint(key, (n_hyp, 3), 0, n)
-    a = points[idx[:, 0]]
-    b = points[idx[:, 1]]
-    c = points[idx[:, 2]]
+    h_loc = n_hyp // 2
+    k_g, k_a, k_c = jax.random.split(key, 3)
+
+    idx = jax.random.randint(k_g, (n_hyp - h_loc, 3), 0, n)
+    a_g = points[idx[:, 0]]
+    b_g = points[idx[:, 1]]
+    c_g = points[idx[:, 2]]
+
+    anchor = jax.random.randint(k_a, (h_loc,), 0, n)
+    cand = jax.random.randint(k_c, (h_loc, k_local), 0, n)
+    a_l = points[anchor]  # (h, 3)
+    cpts = points[cand]  # (h, K, 3)
+    d2 = jnp.sum((cpts - a_l[:, None]) ** 2, axis=-1)
+    d2 = jnp.where(d2 < 1e-12, jnp.inf, d2)  # drop anchor duplicates
+    i1 = jnp.argmin(d2, axis=1)
+    d2b = d2.at[jnp.arange(h_loc), i1].set(jnp.inf)
+    i2 = jnp.argmin(d2b, axis=1)
+    b_l = jnp.take_along_axis(cpts, i1[:, None, None], axis=1)[:, 0]
+    c_l = jnp.take_along_axis(cpts, i2[:, None, None], axis=1)[:, 0]
+
+    a = jnp.concatenate([a_g, a_l])
+    b = jnp.concatenate([b_g, b_l])
+    c = jnp.concatenate([c_g, c_l])
     normal = jnp.cross(b - a, c - a)
     norm = jnp.linalg.norm(normal, axis=1, keepdims=True)
     ok = norm[:, 0] > 1e-9

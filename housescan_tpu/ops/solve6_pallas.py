@@ -9,7 +9,11 @@ one Pallas kernel the same arithmetic runs on the scalar core in ~1us;
 only the kernel launch (~20us) remains.
 
 Numerics match housescan_tpu.kinfu.icp._solve_increment +
-_twist_to_proj exactly: scale-relative Tikhonov damping, non-finite
+_twist_to_proj exactly: the iterated-Tikhonov null-space filter
+x = (A+lam I)^-1 A (A+lam I)^-1 b (lam = max(damping, null_threshold)
+x scale — kills confident slides along unobservable pose directions on
+bare-wall views, see _solve_increment's docstring; implemented here as
+a second triangular solve reusing the same Cholesky factor), non-finite
 guard, max-step clamp, exact Rodrigues (sin/cos via Taylor series —
 |theta| <= max_step = 0.3, so a 6-term series is exact to f32).
 """
@@ -38,7 +42,8 @@ def _cos_taylor(t):
     )
 
 
-def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
+def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step,
+                      null_threshold=1e-2):
     """Shared scalar math: returns the new 16-element pose row-major.
 
     ``a_flat``: 36 scalars (row-major 6x6), ``b_vec``: 6 scalars,
@@ -49,12 +54,16 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
     def a(i, j):
         return a_flat[i * 6 + j]
 
-    # Scale-relative damping on the diagonal.
+    # Scale-relative regularization on the diagonal: lam doubles as the
+    # Tikhonov damping AND the null-space filter knee (icp.py
+    # _solve_increment), so it is floored at null_threshold.
     scale = a(0, 0)
     for i in range(1, 6):
         scale = jnp.maximum(scale, jnp.abs(a(i, i)))
     scale = jnp.maximum(scale, 1e-12)
-    lam = damping * scale
+    # jnp.maximum: damping arrives as a traced SMEM scalar from the
+    # fused whole-level ICP kernel (ops/icp_pallas.py params row).
+    lam = jnp.maximum(damping, null_threshold) * scale
 
     # Unrolled Cholesky of A + lam*I. The 1e-30 clamp keeps the sqrt
     # finite, so failure must be flagged EXPLICITLY: a non-positive
@@ -73,18 +82,31 @@ def _solve_twist_math(a_flat, b_vec, pose_flat, damping, max_step):
                 L[i][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
             else:
                 L[i][j] = s / L[j][j]
-    y = [None] * 6
+    def chol_solve(rhs):
+        y = [None] * 6
+        for i in range(6):
+            s = rhs[i]
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * 6
+        for i in range(5, -1, -1):
+            s = y[i]
+            for k in range(i + 1, 6):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        return x
+
+    # Iterated-Tikhonov null-space filter (see module docstring):
+    # z = (A+lam I)^-1 b, x = (A+lam I)^-1 (A z).
+    z = chol_solve(b_vec)
+    az = [None] * 6
     for i in range(6):
-        s = b_vec[i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s / L[i][i]
-    x = [None] * 6
-    for i in range(5, -1, -1):
-        s = y[i]
-        for k in range(i + 1, 6):
-            s = s - L[k][i] * x[k]
-        x[i] = s / L[i][i]
+        s = a(i, 0) * z[0]
+        for k in range(1, 6):
+            s = s + a(i, k) * z[k]
+        az[i] = s
+    x = chol_solve(az)
 
     for i in range(6):
         ok = ok & jnp.isfinite(x[i])

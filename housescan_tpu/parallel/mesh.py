@@ -16,6 +16,7 @@ from jax.sharding import Mesh
 
 
 VOLUME_AXIS = "shard"
+ROOMS_AXIS = "rooms"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = VOLUME_AXIS) -> Mesh:
@@ -32,3 +33,25 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = VOLUME_AXIS) -> 
     import numpy as np
 
     return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh2d(n_rooms: int, n_slabs: int) -> Mesh:
+    """2-D (rooms x slab) mesh: data parallelism over rooms composed
+    with spatial volume sharding within each room — the DP x SP
+    composition SURVEY.md section 2c's communication-backend row calls
+    for (rooms ride the outer/DCN-class axis, slabs the inner/ICI-class
+    axis; on a real multi-slice deployment the rooms axis maps across
+    slices and each room's slab collectives stay intra-slice)."""
+    devices = jax.devices()
+    need = n_rooms * n_slabs
+    if need > len(devices):
+        raise ValueError(
+            f"requested {n_rooms}x{n_slabs} devices, have {len(devices)}; on "
+            f"CPU set XLA_FLAGS=--xla_force_host_platform_device_count={need}"
+        )
+    import numpy as np
+
+    return Mesh(
+        np.array(devices[:need]).reshape(n_rooms, n_slabs),
+        (ROOMS_AXIS, VOLUME_AXIS),
+    )

@@ -503,9 +503,21 @@ def make_sharded_step(
         # BOTH the Pallas and XLA paths.
         min_corr = max(32, int(0.002 * intr.width * intr.height))
         model_px = jnp.sum(state.model_maps[mp.MD_VALID] > 0.5)
+        # Correspondence + view-consistency gate, mirroring kinfu_step
+        # exactly (see the comment there for why the depth arm exists).
+        both_valid = (raw_depth > 0) & (state.model_maps[mp.MD_VALID] > 0.5)
+        view_incons = jnp.sum(
+            jnp.where(
+                both_valid,
+                jnp.minimum(
+                    jnp.abs(raw_depth - state.model_maps[mp.MD_DEPTH]), 1.0
+                ),
+                0.0,
+            )
+        ) / jnp.maximum(jnp.sum(both_valid), 1)
         tracked = (
             is_first
-            | (icp_corr >= min_corr)
+            | ((icp_corr >= min_corr) & (view_incons <= 0.15))
             | (model_px < 4 * min_corr)
         )
         new_pose = jnp.where(tracked, new_pose, state.pose)
