@@ -13,7 +13,11 @@ vs_baseline is against the driver-set north star of 60 fps
 at 512^3 on a GTX 780M, README.md:25-26).
 
 Environment knobs: HOUSESCAN_BENCH_RES (voxels), HOUSESCAN_BENCH_FRAMES,
-HOUSESCAN_BENCH_WH ("640x480").
+HOUSESCAN_BENCH_WH ("640x480"), HOUSESCAN_BENCH_NOISE (meters of
+Kinect-like depth noise sigma at 2 m, e.g. 0.002 — default off),
+HOUSESCAN_BENCH_QUANT=1 (round frames through the uint16-mm wire format
+the reference's camera produced, ref HoniHelper.hs:20-46 — default
+off), HOUSESCAN_BENCH_MESH=0 (skip the mesh-export timing).
 """
 
 import json
@@ -54,7 +58,16 @@ def main() -> None:
     )
     half, boxes = furnished_room()
     poses = orbit_poses(n_frames + 1, radius=0.25, yaw_range=0.02 * n_frames, pitch=0.25)
-    frames = render_depth_stream(intr, poses, half, boxes=boxes)
+    # Realistic sensor conditions (VERDICT r3 missing #1): optional
+    # depth-dependent noise and the uint16-mm wire quantization every
+    # real frame went through (ref HoniHelper.hs:20-46). Default off so
+    # the driver's headline gate is unchanged.
+    noise = float(os.environ.get("HOUSESCAN_BENCH_NOISE", "0"))
+    quant = os.environ.get("HOUSESCAN_BENCH_QUANT", "") == "1"
+    frames = render_depth_stream(intr, poses, half, boxes=boxes, noise=noise)
+    if quant:
+        frames = (np.round(np.asarray(frames) * 1000.0).astype(np.uint16)
+                  .astype(np.float32) / 1000.0)
     device_frames = [jnp.asarray(f) for f in frames]
 
     # f32 volume storage. bfloat16 is supported (half the HBM traffic,
@@ -105,6 +118,30 @@ def main() -> None:
         float(np.linalg.norm(np.asarray(state.pose)[3, :3] - poses[n_frames][3, :3]))
         * 1000.0
     )
+
+    # Per-room mesh export time — the BASELINE.json metric triple's
+    # third member (depth fps; PER-ROOM MESH EXPORT TIME; ICP RMSE):
+    # marching-tetrahedra surface extraction + host compaction + .ply
+    # write of the just-fused volume (ref README.md:16-17 — the
+    # reference's core output artifact).
+    mesh_export_s = None
+    if os.environ.get("HOUSESCAN_BENCH_MESH", "1") == "1":
+        import tempfile
+        from pathlib import Path
+
+        from housescan_tpu.io.ply import save_ply
+        from housescan_tpu.kinfu.marching_cubes import marching_cubes
+
+        t0 = time.time()
+        mesh = marching_cubes(state.volume)
+        out_ply = Path(tempfile.mkdtemp()) / "mesh.ply"
+        save_ply(out_ply, mesh)
+        mesh_export_s = time.time() - t0
+        print(
+            f"# mesh export: {mesh_export_s:.2f}s "
+            f"({mesh.vertices.shape[0] // 3} triangles)",
+            file=sys.stderr,
+        )
     print(f"# pose error vs ground truth after {n_frames} frames: "
           f"{pose_err_mm:.2f} mm", file=sys.stderr)
     # Hard tracking-quality gate: regressions must fail LOUDLY, not ride
@@ -114,7 +151,10 @@ def main() -> None:
     # numerically-equivalent builds, i.e. 5 mm at 20 frames — a 512^3
     # metric-precision regression (11+ mm, commit 5d76e80) fails, noise
     # does not.
-    max_err_mm = 0.15 * n_frames + 2.0
+    # Under sensor noise the budget scales with the noise floor (the
+    # 128^3/320x240 testbed measured 0.28 mm/frame at 2 mm noise vs
+    # 0.063 clean — about noise*150 per frame extra).
+    max_err_mm = (0.15 + 150.0 * noise) * n_frames + 2.0
     if pose_err_mm > max_err_mm:
         print(
             f"# FAIL: pose error {pose_err_mm:.2f} mm exceeds the "
@@ -138,6 +178,13 @@ def main() -> None:
                 # error vs ground truth after the sustained orbit.
                 "pose_err_mm": round(pose_err_mm, 2),
                 "frames": n_frames,
+                **(
+                    {"mesh_export_s": round(mesh_export_s, 2)}
+                    if mesh_export_s is not None
+                    else {}
+                ),
+                **({"noise_m": noise} if noise else {}),
+                **({"wire_quantized": True} if quant else {}),
             }
         )
     )

@@ -169,6 +169,23 @@ def cantor_slots(n: int) -> List[Tuple[int, int]]:
     return out[:n]
 
 
+def cantor_slots_3d(n: int, floors: int) -> List[Tuple[int, int, int]]:
+    """First ``n`` 3-D grid slots: rooms fill ``floors`` contiguous
+    chunks bottom-up (the houseSetup shape — ground/first/second floor
+    room lists, ref Main.hs:2448-2517), each floor laid out on the
+    2-D Cantor grid. Returns (gx, floor, gz) with floor 0 at the
+    bottom; vertically adjacent floors share (gx, gz) so every room
+    has an upstairs/downstairs partner to chain ceiling-to-floor."""
+    per = -(-n // floors)  # ceil
+    grid = cantor_slots(per)
+    out: List[Tuple[int, int, int]] = []
+    for i in range(n):
+        f, j = divmod(i, per)
+        gx, gz = grid[j]
+        out.append((gx, f, gz))
+    return out
+
+
 def scan_building(
     rooms: Sequence[RoomScan],
     out_dir: Union[str, Path],
@@ -182,6 +199,7 @@ def scan_building(
     gap: float = 0.1,
     interpret: bool = False,
     layout: str = "chain",
+    floors: int = 1,
 ):
     """Scan every room, assemble, arrange, optimize, export.
 
@@ -200,7 +218,12 @@ def scan_building(
     places rooms on the reference's Cantor-diagonal 2-D grid
     (config.rooms.grid_spacing meters apart, ref Main.hs:2504) and
     chains every grid-adjacent pair along BOTH the X and Z axes, so
-    the position optimization solves a genuinely 2-D building."""
+    the position optimization solves a genuinely 2-D building.
+    ``floors`` > 1 stacks the grid into a 3-D building (the 3-floor
+    houseSetup, ref Main.hs:2448-2517): rooms split into contiguous
+    per-floor chunks, floors stack on Y (upper floors at more-negative
+    Y — world up is -Y), and vertically adjacent rooms chain
+    ceiling-to-floor so the optimizer solves Y too."""
     from housescan_tpu.rooms import (
         Scene,
         WallRelation,
@@ -332,21 +355,35 @@ def scan_building(
         from housescan_tpu.rooms import translate_room
 
         spacing = config.rooms.grid_spacing
-        slots = cantor_slots(len(fitted))
+        slots = cantor_slots_3d(len(fitted), floors)
         by_slot = {}
-        for i, (gx, gz) in enumerate(slots):
+        for i, (gx, fl, gz) in enumerate(slots):
             r = scene.rooms[fitted[i].room_id]
+            # World up is -Y (camera convention; rooms/align.py): upper
+            # floors sit at more-negative Y.
             moved = translate_room(
-                r, np.array([gx * spacing, 0.0, gz * spacing], np.float32)
+                r,
+                np.array(
+                    [gx * spacing, -fl * spacing, gz * spacing], np.float32
+                ),
             )
             scene.update_room(moved)
             fitted[i] = moved
-            by_slot[(gx, gz)] = i
-        for (gx, gz), i in by_slot.items():
+            by_slot[(gx, fl, gz)] = i
+        for (gx, fl, gz), i in by_slot.items():
             for dx, dz, axis_i in ((1, 0, 0), (0, 1, 2)):
-                j = by_slot.get((gx + dx, gz + dz))
+                j = by_slot.get((gx + dx, fl, gz + dz))
                 if j is not None:
                     _connect_axis(fitted[i], fitted[j], axis_i)
+            # Vertical chaining: the UPSTAIRS room's floor (+Y face,
+            # which faces downward) kisses this room's ceiling — in
+            # _connect_axis terms ra=upstairs (its min-Y-normal plane
+            # is its floor), rb=downstairs (max-Y-normal = ceiling),
+            # Opposite with the slab gap (ref Main.hs:2328-2331 grid +
+            # the 3-floor houseSetup :2448-2517).
+            j = by_slot.get((gx, fl + 1, gz))
+            if j is not None:
+                _connect_axis(fitted[j], fitted[i], 1)
     else:
         for a in range(len(fitted) - 1):
             _connect_axis(fitted[a], fitted[a + 1], 0)

@@ -220,7 +220,7 @@ def coverage_sweep_poses(radius: float = 0.2) -> np.ndarray:
         m[3, :3] = np.array([radius * math.sin(yaw), 0.0, radius * math.cos(yaw)])
         return m
 
-    def wedge(poses, yaw, pitch, ramp=72, hold=30):
+    def wedge(poses, yaw, pitch, ramp=72, hold=60):
         for k in range(ramp):
             poses.append(pose_of(yaw, pitch * k / (ramp - 1)))
         for k in range(hold):
@@ -228,17 +228,21 @@ def coverage_sweep_poses(radius: float = 0.2) -> np.ndarray:
         for k in range(ramp):
             poses.append(pose_of(yaw, pitch * (1 - k / (ramp - 1))))
 
+    # NO-REVISIT frontier sweep: each wedge happens at the yaw the
+    # orbit just reached, and the camera never returns to an
+    # already-mapped sector — re-entering the oldest map region after
+    # hundreds of frames of accumulated drift makes ICP fight two
+    # disagreeing map sheets (KinFu has no loop closure; neither did
+    # the reference's), which was measured to smear exactly the face
+    # the test needs. The floor wedge comes EARLY (freshest map).
     poses = []
-    for k in range(135):
-        poses.append(pose_of(4.71 * k / 134, 0.0))
+    for k in range(67):
+        poses.append(pose_of(2.36 * k / 66, 0.0))
+    wedge(poses, 2.36, -0.40)  # floor wedge (competes with furniture
+    # tops for RANSAC inliers, hence the long dwell)
+    for k in range(67):
+        poses.append(pose_of(2.36 + 2.35 * k / 66, 0.0))
     wedge(poses, 4.71, 0.40)  # ceiling wedge
-    for k in range(45):  # yaw back to mid-sweep at level pitch
-        poses.append(pose_of(4.71 - 2.35 * k / 44, 0.0))
-    wedge(poses, 2.36, -0.40)  # floor wedge (floor competes with
-    # furniture tops for RANSAC inliers, so it gets the same dwell)
-    for k in range(42):
-        poses.append(pose_of(2.36 - 2.06 * k / 41, 0.0))
-    wedge(poses, 0.30, -0.40)  # second floor wedge, start sector
     return np.stack(poses)
 
 

@@ -215,6 +215,159 @@ class TestGridBuilding:
         assert n_checked >= 2  # X and Z neighbors both exist in 8 slots
 
 
+class TestThreeFloorBuilding:
+    """houseSetup assembled rooms across THREE floors (ref
+    Main.hs:2448-2517); the grid layout stacks floors on Y with
+    ceiling-to-floor Opposite chaining between vertically adjacent
+    rooms, and the position optimizer solves the Y axis like X/Z."""
+
+    def test_cantor_slots_3d(self):
+        from housescan_tpu.kinfu.building import cantor_slots_3d
+
+        slots = cantor_slots_3d(6, 3)
+        assert slots == [
+            (0, 0, 0), (1, 0, 0),
+            (0, 1, 0), (1, 1, 0),
+            (0, 2, 0), (1, 2, 0),
+        ]
+        assert len(cantor_slots_3d(23, 3)) == 23  # houseSetup scale
+
+    def test_three_floor_building(self, tmp_path):
+        cfg = Config(
+            tsdf=TsdfConfig(resolution=128, size_m=3.2, trunc_dist=0.06),
+            ransac=RansacConfig(
+                min_inlier_fraction=0.01, max_planes=12, n_hypotheses=1024
+            ),
+        )
+        # Full-coverage known-pose sweeps (the grid-test recipe): every
+        # room detects all 6 faces so fitting and 3-D chaining engage.
+        half = np.array([1.3, 1.1, 1.3], np.float32)
+        _, boxes = furnished_room()
+        rooms = []
+        for ri in range(6):
+            sweeps = [
+                orbit_poses(6, radius=0.25, yaw_range=6.283, pitch=p, seed=ri)
+                for p in (0.35, -0.35)
+            ]
+            sweeps.append(orbit_poses(6, radius=0.7, height=-0.6,
+                                      yaw_range=6.283, pitch=-1.2, seed=ri))
+            sweeps.append(orbit_poses(6, radius=0.7, height=0.6,
+                                      yaw_range=6.283, pitch=1.2, seed=ri))
+            poses = np.concatenate(sweeps)
+            frames = render_depth_stream(INTR, poses, half, boxes=boxes, seed=ri)
+            rooms.append(
+                RoomScan(
+                    name=f"room{ri}",
+                    stream=DepthStream(frames=frames, intrinsics=INTR),
+                    init_pose=poses[0],
+                    known_poses=poses,
+                )
+            )
+        scene, fitted, out = scan_building(
+            rooms, tmp_path / "bld", config=cfg, gap=0.1,
+            layout="grid", floors=3,
+        )
+        bc = json.loads((out / "building_checkpoint.json").read_text())
+        assert set(bc["fit_rmse"]) == {f"room{i}" for i in range(6)}
+
+        # 1 X-pair per floor (x3) + 2 columns x 2 floor boundaries (=4)
+        # vertical pairs: every grid-adjacent pair must have connected.
+        assert bc["n_wall_connections"] == 7
+
+        # The Y axis was genuinely optimized: 2 columns x 2 floor
+        # boundaries = 4 constraints across its connected components.
+        y_constraints = sum(nc for axis, nc, _ in bc["optimize"] if axis == "Y")
+        assert y_constraints >= 4, bc["optimize"]
+
+        # Vertically adjacent rooms end ceiling-to-floor apart on Y:
+        # room height (2.2 m) + gap (0.1), with upstairs at MORE
+        # NEGATIVE Y (world up is -Y), exactly like the 8-room test
+        # asserts X/Z.
+        from housescan_tpu.kinfu.building import cantor_slots_3d
+
+        by_slot = {s: i for i, s in enumerate(cantor_slots_3d(6, 3))}
+        n_checked = 0
+        for (gx, fl, gz), i in by_slot.items():
+            j = by_slot.get((gx, fl + 1, gz))
+            if j is None:
+                continue
+            off = float(fitted[j].mean()[1] - fitted[i].mean()[1])
+            assert -2.7 < off < -1.9, (
+                f"floor {fl}->{fl+1} at ({gx},{gz}): Y offset {off:.2f} m"
+            )
+            n_checked += 1
+        assert n_checked == 4  # 2 columns x 2 floor boundaries
+        # X neighbours still chain within each floor.
+        for (gx, fl, gz), i in by_slot.items():
+            j = by_slot.get((gx + 1, fl, gz))
+            if j is None:
+                continue
+            off = float(fitted[j].mean()[0] - fitted[i].mean()[0])
+            assert 2.3 < off < 3.1, f"X offset {off:.2f} m on floor {fl}"
+
+
+class TestTrackedBuilding:
+    """The TRACKED end-to-end chain (VERDICT round-3 gap): no
+    known_poses anywhere — ICP tracks a full-coverage sweep, and every
+    assembly stage is asserted UNCONDITIONALLY, so the test fails if
+    plane detection, corner adoption, cuboid fitting, wall chaining or
+    position optimization silently disengages on tracked scans."""
+
+    def test_tracked_two_room_building_end_to_end(self, tmp_path):
+        from housescan_tpu.kinfu.synthetic import (
+            coverage_sweep_poses,
+            flat_furnished_room,
+        )
+
+        cfg = Config(
+            tsdf=TsdfConfig(resolution=64, size_m=3.2, trunc_dist=0.1),
+            ransac=RansacConfig(
+                min_inlier_fraction=0.005, max_planes=16, n_hypotheses=1024
+            ),
+        )
+        half, boxes = flat_furnished_room()
+        poses = coverage_sweep_poses()
+        frames = render_depth_stream(INTR, poses, half, boxes=boxes)
+        rooms = [
+            RoomScan(
+                name=f"room{ri}",
+                stream=DepthStream(frames=frames, intrinsics=INTR),
+                init_pose=poses[0],  # tracked: NO known_poses
+            )
+            for ri in range(2)
+        ]
+        scene, fitted, out = scan_building(
+            rooms, tmp_path / "bld", config=cfg, gap=0.1
+        )
+        bc = json.loads((out / "building_checkpoint.json").read_text())
+
+        # 1. every room CUBOID-FITTED with bounded RMSE (probe head
+        # measured ~25 mm on this tracked map; 60 mm bounds it).
+        assert set(bc["fit_rmse"]) == {"room0", "room1"}, bc["fit_rmse"]
+        for name, rmse in bc["fit_rmse"].items():
+            assert rmse < 0.06, f"{name}: cuboid RMSE {rmse*1000:.1f} mm"
+        for r in fitted:
+            assert len(r.corners) == 8
+            assert len(r.planes) == 6  # the fitted cuboid's faces
+            cs = np.stack([c for _, c in r.corners])
+            dims = np.sort(cs.max(axis=0) - cs.min(axis=0))
+            assert np.allclose(dims, [1.5, 2.6, 2.6], atol=0.1), dims
+
+        # 2. wall chaining CREATED a connection.
+        assert bc["n_wall_connections"] >= 1
+        assert len(scene.connected_walls) >= 1
+
+        # 3. position optimization RAN on >= 1 constraint, finite RMSE.
+        assert bc["optimize"], "optimize_room_positions did not run"
+        assert any(nc >= 1 for _axis, nc, _r in bc["optimize"])
+        assert all(np.isfinite(r) for _axis, _nc, r in bc["optimize"])
+
+        # 4. rooms MOVED into the chained arrangement: wall-to-wall
+        # along X = room width + gap.
+        off = float(fitted[1].mean()[0] - fitted[0].mean()[0])
+        assert 2.4 < off < 3.0, f"room1 - room0 X offset {off:.2f} m"
+
+
 class TestShardedMidRoomResume:
     def test_kill_and_resume_mid_sharded_room(self, tmp_path):
         """A building run killed mid-SHARDED-room resumes from the

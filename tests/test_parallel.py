@@ -266,6 +266,50 @@ class TestShardedFusion:
 
 
 @needs_8
+class TestRooms2D:
+    """DP x SP composed: N rooms re-fused simultaneously, each room's
+    volume X-slab-sharded over its row of a 2-D (rooms x slab) mesh —
+    the multi-slice-shaped composition SURVEY.md section 2c names (the
+    rooms axis never communicates; slab collectives stay within a row,
+    i.e. intra-slice on real hardware)."""
+
+    def test_refuse_rooms_2d_matches_single_device(self):
+        from housescan_tpu.parallel import make_mesh2d, refuse_rooms_2d
+
+        mesh2d = make_mesh2d(2, 4)
+        assert mesh2d.devices.shape == (2, 4)
+
+        half, boxes = furnished_room()
+        streams, trajs = [], []
+        for ri in range(2):
+            # distinct trajectories per room (pitch differs)
+            poses = orbit_poses(
+                3, radius=0.25, yaw_range=0.1, pitch=0.25 + 0.15 * ri
+            )
+            streams.append(render_depth_stream(INTR, poses, half, boxes=boxes))
+            trajs.append(poses)
+        vols = refuse_rooms_2d(
+            mesh2d, streams, trajs, INTR, resolution=64, size_m=3.0, trunc=0.1
+        )
+        assert len(vols) == 2
+        # Exactly what R independent single-device fusions produce.
+        for r in range(2):
+            ref = tsdf_new(64, 3.0, 0.1)
+            for k in range(3):
+                ref = tsdf_integrate(
+                    ref, jnp.asarray(streams[r][k]), jnp.asarray(trajs[r][k]), INTR
+                )
+            np.testing.assert_array_equal(
+                np.asarray(vols[r].weight), np.asarray(ref.weight)
+            )
+            np.testing.assert_allclose(
+                np.asarray(vols[r].tsdf), np.asarray(ref.tsdf), atol=1e-6
+            )
+        # and the two rooms genuinely differ (distinct trajectories)
+        assert not np.array_equal(np.asarray(vols[0].tsdf), np.asarray(vols[1].tsdf))
+
+
+@needs_8
 class TestRoomBatchDP:
     def test_sharded_cuboid_fit_exact(self, mesh):
         rng = np.random.default_rng(3)
