@@ -93,6 +93,11 @@ def _build_tet_cases():
 
 _TET_CASES = _build_tet_cases()
 MAX_TRIS_PER_CELL = 12  # 6 tets x up to 2 triangles
+# Triangles emitted per tet sign case (0, 1 or 2) — the exact-count
+# table for the sizing pass.
+_TET_NTRI = np.array(
+    [int((_TET_CASES[c, :, 0] >= 0).sum()) for c in range(16)], np.int32
+)
 
 
 def _slab_triangles(
@@ -195,41 +200,132 @@ def _slab_triangles(
 _slab_triangles_jit = jax.jit(_slab_triangles)
 
 
+from functools import partial
+
+
+@jax.jit
+def _slab_count(tsdf_slab: jnp.ndarray, weight_slab: jnp.ndarray) -> jnp.ndarray:
+    """EXACT triangle count for one slab — the cheap sizing pass (no
+    edge interpolation, no 12-slot dense arrays)."""
+    sx = tsdf_slab.shape[0] - 1
+    ny = tsdf_slab.shape[1] - 1
+    nz = tsdf_slab.shape[2] - 1
+    corner_t = []
+    observed = None
+    for dx, dy, dz in _CORNERS:
+        corner_t.append(tsdf_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz])
+        w = weight_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz] > 0
+        observed = w if observed is None else (observed & w)
+    ntri_tab = jnp.asarray(_TET_NTRI)
+    total = jnp.zeros((), jnp.int32)
+    for tet in _TETS:
+        vals = [corner_t[int(c)] for c in tet]
+        bits = (
+            (vals[0] < 0).astype(jnp.int32)
+            | ((vals[1] < 0).astype(jnp.int32) << 1)
+            | ((vals[2] < 0).astype(jnp.int32) << 2)
+            | ((vals[3] < 0).astype(jnp.int32) << 3)
+        )
+        # 16-way select instead of a gather (gathers are near-scalar on
+        # this backend): ntri = sum_case ntri[case] * (bits == case).
+        ntri = jnp.zeros(bits.shape, jnp.int32)
+        for case in range(1, 15):
+            if int(_TET_NTRI[case]) == 0:
+                continue
+            ntri = ntri + jnp.where(bits == case, ntri_tab[case], 0)
+        total = total + jnp.sum(jnp.where(observed, ntri, 0))
+    return total
+
+
+@partial(jax.jit, donate_argnums=(5,))
+def _slab_compact(tsdf_slab, w_slab, x0, origin, voxel_size, dst, offset):
+    """One slab's triangles scattered into the running fixed-capacity
+    buffer. DEVICE-SIDE compaction: the dense per-cell slot array for a
+    512^3 slab is ~0.9 GB, and transferring it to the host for boolean
+    masking cost 41 s PER SLAB over the relay (44 minutes per mesh —
+    the reason the mesh-export BASELINE metric went unmeasured for
+    three rounds). A cumsum over the valid mask assigns output slots,
+    one scatter writes them (off the fusion hot path, so the
+    ~9 ns/element scatter is fine), and only the compacted buffer ever
+    leaves the device."""
+    verts, valid = _slab_triangles(
+        tsdf_slab.astype(jnp.float32),
+        w_slab.astype(jnp.float32),
+        x0,
+        origin,
+        voxel_size,
+    )
+    cap = dst.shape[0] - 1  # last row is the overflow dump slot
+    flat_v = verts.reshape(-1, 9)
+    ok = valid.reshape(-1)
+    slots = jnp.cumsum(ok.astype(jnp.int32)) - 1 + offset
+    idx = jnp.where(ok & (slots < cap), slots, cap)
+    dst = dst.at[idx].set(flat_v)
+    return dst, offset + jnp.sum(ok.astype(jnp.int32))
+
+
 def marching_cubes(
     vol: TsdfVolume,
     slab: int = 8,
     min_weight: float = 1.0,
+    max_triangles: int = 0,
 ) -> Mesh:
     """Extract the zero-isosurface triangle mesh of a TSDF volume.
 
-    Device work proceeds in X-slabs (bounded memory); each slab's dense
-    triangle-slot array is compacted on the host. Returns a triangle-soup
-    Mesh (Meshlab and the .ply pipeline handle soups fine; dedup is a
-    host-side post-pass if needed).
+    Device work proceeds in X-slabs (bounded memory); a cheap exact
+    counting pass sizes the output buffer (rounded to a power of two so
+    jit traces stay bucketed), then triangles are compacted ON DEVICE
+    into that one buffer (in the same C order the dense mask produced,
+    so output is unchanged) and transferred once. ``max_triangles``
+    overrides the measured size (mostly for tests). Returns a
+    triangle-soup Mesh (Meshlab and the .ply pipeline handle soups
+    fine; dedup is a host-side post-pass).
     """
     r = vol.resolution
-    all_tris: List[np.ndarray] = []
-    for x0 in range(0, r - 1, slab):
-        sx = min(slab, r - 1 - x0)
-        tsdf_slab = jax.lax.dynamic_slice_in_dim(vol.tsdf, x0, sx + 1, 0)
-        w_slab = jax.lax.dynamic_slice_in_dim(vol.weight, x0, sx + 1, 0)
-        w_slab = jnp.where(w_slab >= min_weight, w_slab, 0.0)
-        verts, valid = _slab_triangles_jit(
-            tsdf_slab.astype(jnp.float32),
-            w_slab.astype(jnp.float32),
+
+    def slabs():
+        for x0 in range(0, r - 1, slab):
+            sx = min(slab, r - 1 - x0)
+            tsdf_slab = jax.lax.dynamic_slice_in_dim(vol.tsdf, x0, sx + 1, 0)
+            w_slab = jax.lax.dynamic_slice_in_dim(vol.weight, x0, sx + 1, 0)
+            w_slab = jnp.where(w_slab >= min_weight, w_slab, 0.0)
+            yield x0, tsdf_slab, w_slab
+
+    if max_triangles:
+        cap = max_triangles
+    else:
+        total = jnp.zeros((), jnp.int32)
+        for _x0, ts, ws in slabs():
+            total = total + _slab_count(ts, ws)
+        cap = max(1 << int(np.ceil(np.log2(max(int(total), 1) + 1))), 1 << 12)
+
+    dst = jnp.zeros((cap + 1, 9), jnp.float32)
+    offset = jnp.asarray(0, jnp.int32)
+    for x0, ts, ws in slabs():
+        dst, offset = _slab_compact(
+            ts,
+            ws,
             jnp.asarray(x0, jnp.float32),
             vol.origin,
             vol.voxel_size,
+            dst,
+            offset,
         )
-        valid_np = np.asarray(valid)
-        if valid_np.any():
-            all_tris.append(np.asarray(verts)[valid_np])
+    n = int(offset)
+    if n > cap:
+        import sys
 
-    if not all_tris:
+        print(
+            f"marching_cubes: {n} triangles exceed capacity {cap}; "
+            "mesh truncated (raise max_triangles)",
+            file=sys.stderr,
+        )
+        n = cap
+    if n == 0:
         return Mesh(
             vertices=np.zeros((0, 3), np.float32), faces=np.zeros((0, 3), np.int32)
         )
-    tris = np.concatenate(all_tris)
+    tris = np.asarray(dst)[:n]
     vertices = tris.reshape(-1, 3).astype(np.float32)
     faces = np.arange(len(vertices), dtype=np.int32).reshape(-1, 3)
     return Mesh(vertices=vertices, faces=faces)
