@@ -67,7 +67,8 @@ def _room_by_id(scene, room_id):
 
 def _scan_config(args):
     """Config with the volume geometry flags applied (None = defaults)."""
-    if args.resolution is None and args.size_m is None:
+    trunc = getattr(args, "trunc", None)
+    if args.resolution is None and args.size_m is None and trunc is None:
         return None
     from dataclasses import replace
 
@@ -79,6 +80,17 @@ def _scan_config(args):
         tsdf = replace(tsdf, resolution=args.resolution)
     if args.size_m is not None:
         tsdf = replace(tsdf, size_m=args.size_m)
+    if trunc is not None:
+        tsdf = replace(tsdf, trunc_dist=trunc)
+    voxel = tsdf.size_m / tsdf.resolution
+    if tsdf.trunc_dist < voxel:
+        print(
+            f"WARNING: truncation {tsdf.trunc_dist*1000:.0f} mm is below "
+            f"the voxel size {voxel*1000:.0f} mm — the TSDF band may hold "
+            "no voxel centers and surface extraction will find nothing; "
+            "pass --trunc >= ~1.5 voxels",
+            file=sys.stderr,
+        )
     return replace(cfg, tsdf=tsdf)
 
 
@@ -91,6 +103,11 @@ def _add_volume_flags(p):
     p.add_argument(
         "--size-m", type=float, default=None, metavar="M",
         help="TSDF cube edge in meters (default 3.0)",
+    )
+    p.add_argument(
+        "--trunc", type=float, default=None, metavar="M",
+        help="TSDF truncation distance in meters (default 0.03; keep it "
+        ">= ~1.5 voxels or the band holds no voxel centers)",
     )
 
 
@@ -163,6 +180,66 @@ def cmd_scan_building(args):
         f"scanned {len(rooms)} rooms -> {out} "
         f"({len(fitted)} fitted); scene saved to {args.scene}"
     )
+
+
+def cmd_refuse(args):
+    """Offline DP x SP re-fuse: N recorded streams at recorded (or
+    offline-refined) trajectories, all rooms simultaneously on a 2-D
+    (rooms x slab) device mesh (parallel/refuse.py)."""
+    import jax
+
+    from housescan_tpu.capture.replay import load_stream
+    from housescan_tpu.kinfu.scan import write_room_outputs
+    from housescan_tpu.parallel import make_mesh2d, refuse_rooms_2d
+
+    streams = [load_stream(s) for s in args.streams]
+    trajs = [np.load(t)["poses"] for t in args.trajectories]
+    if len(streams) != len(trajs):
+        raise SystemExit(
+            f"{len(streams)} streams but {len(trajs)} trajectories"
+        )
+    intr = streams[0].intrinsics
+    n_frames = max(len(s) for s in streams)
+    h, w = intr.height, intr.width
+    frames, padded_trajs = [], []
+    for s, t in zip(streams, trajs):
+        f = np.stack(list(s))
+        if len(f) != len(t):
+            raise SystemExit(
+                f"stream has {len(f)} frames but trajectory {len(t)} poses"
+            )
+        pad = n_frames - len(f)
+        if pad:  # zero frames integrate as no-ops
+            f = np.concatenate([f, np.zeros((pad, h, w), np.float32)])
+            t = np.concatenate([t, np.repeat(t[-1:], pad, axis=0)])
+        frames.append(f)
+        padded_trajs.append(np.asarray(t, np.float32))
+    trajs = padded_trajs
+    n_rooms = len(frames)
+    if args.devices:
+        r, s = (int(x) for x in args.devices.split("x"))
+    else:
+        r = n_rooms
+        s = max(len(jax.devices()) // n_rooms, 1)
+    mesh2d = make_mesh2d(r, s)
+    from housescan_tpu.config import Config
+
+    cfg = _scan_config(args) or Config()
+    vols = refuse_rooms_2d(
+        mesh2d, frames, trajs, intr,
+        resolution=cfg.tsdf.resolution, size_m=cfg.tsdf.size_m,
+        trunc=cfg.tsdf.trunc_dist,
+    )
+    out = Path(args.out)
+    for k, (vol, stream_path) in enumerate(zip(vols, args.streams)):
+        name = Path(stream_path).stem
+        orig = np.load(args.trajectories[k])["poses"]
+        write_room_outputs(
+            vol, list(orig), out / name, config=cfg,
+            write_mesh=args.mesh,
+        )
+        print(f"re-fused {name} -> {out / name}")
+    print(f"{n_rooms} rooms re-fused on a {r}x{s} rooms-x-slab mesh")
 
 
 def cmd_detect_planes(args):
@@ -542,6 +619,27 @@ def main(argv=None):
     )
     _add_volume_flags(p)
     p.set_defaults(fn=cmd_scan_building)
+
+    p = sub.add_parser(
+        "refuse",
+        help="re-fuse N recorded streams at recorded trajectories, all "
+        "rooms at once on a 2-D rooms x slab device mesh",
+    )
+    p.add_argument("out")
+    p.add_argument("streams", nargs="+", metavar="stream.npz")
+    p.add_argument(
+        "--trajectories", nargs="+", required=True, metavar="trajectory.npz",
+        help="one per stream (a room dir's trajectory.npz, possibly "
+        "offline-refined)",
+    )
+    p.add_argument(
+        "--devices", default="", metavar="RxS",
+        help="mesh shape rooms x slabs (default: n_rooms x "
+        "n_devices//n_rooms)",
+    )
+    p.add_argument("--mesh", action="store_true", help="write mesh.ply per room")
+    _add_volume_flags(p)
+    p.set_defaults(fn=cmd_refuse)
 
     p = sub.add_parser("detect-planes", help="RANSAC planes for a cloud")
     p.add_argument("cloud")

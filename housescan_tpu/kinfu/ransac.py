@@ -98,6 +98,16 @@ def detect_planes(
     """
     points = jnp.asarray(points, jnp.float32)
     n = points.shape[0]
+    if n < 3:
+        # Degenerate cloud (e.g. an under-truncated TSDF yields no
+        # surface): no planes, not a crash.
+        return DetectedPlanes(
+            normals=jnp.zeros((max_planes, 3), jnp.float32),
+            ds=jnp.zeros((max_planes,), jnp.float32),
+            inlier_counts=jnp.zeros((max_planes,), jnp.int32),
+            n_planes=jnp.asarray(0, jnp.int32),
+            inlier_of=jnp.full((n,), -1, jnp.int32),
+        )
 
     def round_body(carry, key_r):
         available, inlier_of, plane_idx = carry

@@ -39,6 +39,49 @@ def _rooms(scene_path):
     return load_scene(scene_path).rooms
 
 
+def test_refuse_two_streams_2d_mesh(tmp_path):
+    """`refuse`: offline DP x SP re-fuse of two recorded streams at
+    their recorded trajectories on the 2 x 4 rooms-x-slab mesh, writing
+    standard room directories."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from housescan_tpu.capture.replay import record_stream
+    from housescan_tpu.kinfu.camera import Intrinsics
+    from housescan_tpu.kinfu.synthetic import (
+        furnished_room,
+        orbit_poses,
+        render_depth_stream,
+    )
+
+    intr = Intrinsics(width=160, height=120, fx=131.25, fy=131.25,
+                      cx=79.5, cy=59.5)
+    half, boxes = furnished_room()
+    streams, trajfiles = [], []
+    for ri in range(2):
+        poses = orbit_poses(3 + ri, radius=0.25, yaw_range=0.1,
+                            pitch=0.25 + 0.1 * ri)
+        frames = render_depth_stream(intr, poses, half, boxes=boxes)
+        sp = tmp_path / f"r{ri}.npz"
+        record_stream(sp, frames, intr, poses=poses)
+        tp = tmp_path / f"t{ri}.npz"
+        np.savez(tp, poses=np.asarray(poses, np.float32))
+        streams.append(str(sp))
+        trajfiles.append(str(tp))
+    main([
+        "refuse", str(tmp_path / "out"), *streams,
+        "--trajectories", *trajfiles,
+        "--devices", "2x4", "--resolution", "64", "--trunc", "0.1",
+    ])
+    for ri in range(2):
+        d = tmp_path / "out" / f"r{ri}"
+        assert (d / "cloud_downsampled.pcd").exists()
+        assert (d / "planes.txt").exists()
+        traj = np.load(d / "trajectory.npz")["poses"]
+        assert traj.shape == (3 + ri, 4, 4)  # unpadded original lengths
+
+
 class TestManipCommands:
     def test_swap(self, two_room_scene):
         rooms = _rooms(two_room_scene)
