@@ -53,7 +53,8 @@ MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
 # Visible+valid sub-blocks kept per frame. A 640x480 view bounds the
 # useful set: a sub-block projects to >= ~25 px^2 beyond 2 m, so ~2K
 # blocks of overdraw cover the frustum; selection is nearest-first
-# (bool argsort is stable), so overflow drops far geometry.
+# (lax.top_k breaks ties lower-index-first, per its documented
+# contract), so overflow drops far geometry.
 MAX_VISIBLE = 4096
 
 
@@ -85,9 +86,12 @@ def build_tile_candidates(
 
       * No transpose: every plane field is read as a contiguous-ish
         slice ``planes[..., k, :]`` of the field-minor layout.
-      * One distance-keyed int argsort over ALL nb sub-blocks selects
-        the MAX_VISIBLE nearest visible+valid blocks; the only gathers
-        before the final candidate build are over those 4096 rows.
+      * One ``lax.top_k`` over the negated distance-quantized keys of
+        ALL nb sub-blocks selects the MAX_VISIBLE nearest visible+valid
+        blocks (stable ascending selection at half the cost of a full
+        (key, idx) sort). The selected rows' projected geometry is then
+        RECOMPUTED from the indices — no 4096-row gathers; the only
+        gathers left are the column-takes of the final candidate build.
       * Pairs carry a (tile, distance-bucket) composite key and are
         sorted in FULL with +inf sentinels — no pre-compaction, no cap,
         no gather. Per-tile MAX_CT truncation therefore drops

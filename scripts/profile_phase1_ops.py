@@ -5,6 +5,12 @@ each constituent op with realistic shapes so the fix targets the actual
 cost (platform facts: gathers ~9 ns/element row / ~3 ns column, sorts
 cheap-ish, per-op issue ~0.3-1 us — PERFORMANCE.md).
 
+Timing caveat: ``timeit`` issues ITERS async dispatches with a single
+forcing readout at the end and subtracts one fixed 25 ms relay
+constant, so host-side dispatch pipelining can skew ABSOLUTE per-op
+numbers. Treat results as RELATIVE/A-B comparisons only; force a
+readout every few iterations if absolute numbers are ever needed.
+
 Run sequentially (ONE TPU process):
   nohup python scripts/profile_phase1_ops.py > /tmp/p1ops.out 2>&1 &
 """
