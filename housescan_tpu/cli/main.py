@@ -17,6 +17,8 @@ a checkpoint file instead of a keypress over IORef state.
     disconnect      disconnect two walls                  (was: ctrl-W)
     optimize        global room-position least squares    (was: 'o')
     move / move-wall / swap / remove-ceiling              (was: arrows, menu)
+    rotate          rotate a room to match two walls      (was: 'r')
+    render          offscreen scene image                 (was: the GLUT display)
     duplicate-plane / delete-plane                        (was: 'D', delete)
     export          .xf files + pcl command lines + placed full-res models
                                                           (was: 'e' + external tools)
@@ -165,6 +167,9 @@ def cmd_scan_building(args):
         from housescan_tpu.parallel.mesh import VOLUME_AXIS
 
         mesh = Mesh(np.array(jax.devices()), (VOLUME_AXIS,))
+    layout = args.layout
+    if args.floors > 1 and layout == "chain":
+        layout = "grid"  # floors only exist on the grid layout
     scene, fitted, out = scan_building(
         rooms,
         args.out,
@@ -174,6 +179,9 @@ def cmd_scan_building(args):
         resume=args.resume,
         progress=True,
         write_mesh=args.mesh,
+        gap=args.gap,
+        layout=layout,
+        floors=args.floors,
     )
     _save_scene(scene, args.scene)
     print(
@@ -361,6 +369,61 @@ def cmd_export(args):
             if src.exists():
                 dst = export_room_full_res(room, out / f"room{rid}-placed.ply")
                 print(f"placed full-res: {dst}")
+
+
+def cmd_rotate(args):
+    """The reference's 'r' key (rotateSelectedPlanes, ref Main.hs:977,
+    :1629-1654): rotate plane 1's room so that wall faces opposite wall
+    plane 2; a room-less plane 1 instead gains a rotated free-standing
+    copy matching plane 2's normal."""
+    from housescan_tpu.rooms.align import rotate_room_to_match_walls
+    from housescan_tpu.rooms.types import Room
+
+    scene = _load_scene(args.scene)
+    try:
+        got = rotate_room_to_match_walls(scene, args.plane1, args.plane2)
+    except KeyError as e:
+        raise SystemExit(str(e))
+    _save_scene(scene, args.scene)
+    if isinstance(got, Room):
+        print(
+            f"rotated room {got.room_id}: wall {args.plane1} now faces "
+            f"opposite wall {args.plane2}"
+        )
+    else:
+        print(
+            f"plane {args.plane1} is in no room: added rotated copy as "
+            f"free plane {got.plane_id}"
+        )
+
+
+def cmd_render(args):
+    """Offscreen scene render (the reference's GLUT display pass,
+    ref Main.hs:410-447) to PPM/PNG."""
+    from housescan_tpu.kinfu.camera import Intrinsics
+    from housescan_tpu.viewer import frame_scene, look_at_pose, render_scene
+
+    scene = _load_scene(args.scene)
+    if not scene.rooms and not scene.planes:
+        raise SystemExit("scene is empty; nothing to render")
+    w, h = args.width, args.height
+    f = 0.5 * w / np.tan(np.radians(args.fov) / 2)
+    intr = Intrinsics(w, h, f, f, w / 2.0, h / 2.0)
+    if args.pose:
+        pose = np.load(args.pose)
+        pose = pose[args.pose_index] if pose.ndim == 3 else pose
+    else:
+        eye, target = frame_scene(scene)
+        if args.eye:
+            eye = _parse_xyz(args.eye)
+        if args.look_at:
+            target = _parse_xyz(args.look_at)
+        pose = look_at_pose(eye, target)
+    from housescan_tpu.viewer.render import write_image
+
+    img = render_scene(scene, pose, intr, point_px=args.point_px)
+    out = write_image(args.out, img)
+    print(f"rendered {len(scene.rooms)} rooms -> {out} ({w}x{h})")
 
 
 def cmd_remove_ceiling(args):
@@ -617,6 +680,21 @@ def main(argv=None):
         "--resume", action="store_true",
         help="resume: skip finished rooms, continue the in-flight one",
     )
+    p.add_argument(
+        "--layout", choices=("chain", "grid"), default="chain",
+        help="room arrangement: one X chain, or the reference's "
+        "Cantor-diagonal 2-D grid (ref Main.hs:2328-2331)",
+    )
+    p.add_argument(
+        "--floors", type=int, default=1, metavar="N",
+        help="stack the grid into N floors chained ceiling-to-floor "
+        "(the 3-floor houseSetup, ref Main.hs:2448-2517); implies "
+        "--layout grid",
+    )
+    p.add_argument(
+        "--gap", type=float, default=0.1, metavar="M",
+        help="wall-to-wall thickness when chaining rooms (meters)",
+    )
     _add_volume_flags(p)
     p.set_defaults(fn=cmd_scan_building)
 
@@ -683,6 +761,31 @@ def main(argv=None):
     p.add_argument("--out", default="export")
     p.add_argument("--full-res", action="store_true")
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser(
+        "rotate",
+        help="rotate plane 1's room so that wall faces opposite plane 2 "
+        "(the 'r' key)",
+    )
+    p.add_argument("plane1", type=int)
+    p.add_argument("plane2", type=int)
+    p.set_defaults(fn=cmd_rotate)
+
+    p = sub.add_parser("render", help="render the scene to an image")
+    p.add_argument("--out", default="scene.png")
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=960)
+    p.add_argument("--fov", type=float, default=60.0, help="horizontal FOV, degrees")
+    p.add_argument(
+        "--pose", default=None, metavar="POSE.npy",
+        help="4x4 row-vector camera-to-world pose (or an (N,4,4) "
+        "trajectory; see --pose-index)",
+    )
+    p.add_argument("--pose-index", type=int, default=0)
+    p.add_argument("--eye", default=None, metavar="X,Y,Z")
+    p.add_argument("--look-at", default=None, metavar="X,Y,Z")
+    p.add_argument("--point-px", type=int, default=1)
+    p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("remove-ceiling", help="drop top points to peek inside")
     p.add_argument("--room", type=int, default=None)

@@ -42,7 +42,7 @@ from housescan_tpu.rooms.types import (
     WallRelation,
 )
 
-CURRENT_VERSION = 3
+CURRENT_VERSION = 4
 DEFAULT_PATH = "save.housescan"  # (ref Main.hs:1920 'save.safecopy')
 
 
@@ -103,7 +103,22 @@ def save_scene(scene: Scene, path: Union[str, Path] = DEFAULT_PATH) -> Path:
             for axis, rel, p1, p2 in scene.connected_walls
         ],
         "settings": {},
+        # v4: free-standing planes. The reference kept sPlanes transient
+        # (Main.hs:221 is not in Save, :252-255) — acceptable in a live
+        # GLUT session, but this CLI is one process per subcommand, so
+        # planes added by the bare-plane 'rotate' branch must survive.
+        "free_planes": [
+            {
+                "id": int(p.plane_id),
+                "normal": [float(x) for x in p.normal],
+                "d": float(p.d),
+                "color": list(p.color),
+            }
+            for p in scene.planes.values()
+        ],
     }
+    for p in scene.planes.values():
+        arrays[f"free_plane{p.plane_id}/bounds"] = p.bounds
 
     path = Path(path)
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
@@ -164,9 +179,19 @@ def _migrate_v2_to_v3(manifest: dict) -> dict:
     return manifest
 
 
+def _migrate_v3_to_v4(manifest: dict) -> dict:
+    """v4 added free-standing planes (empty in any older save — the
+    reference never persisted them either, Main.hs:252-255)."""
+    manifest = dict(manifest)
+    manifest.setdefault("free_planes", [])
+    manifest["schema_version"] = 4
+    return manifest
+
+
 MIGRATIONS: Dict[int, Callable[[dict], dict]] = {
     1: _migrate_v1_to_v2,
     2: _migrate_v2_to_v3,
+    3: _migrate_v3_to_v4,
 }
 
 
@@ -229,13 +254,29 @@ def load_scene(
             )
             rooms[room.room_id] = room
 
+        free_planes = {
+            pm["id"]: Plane(
+                plane_id=pm["id"],
+                normal=np.asarray(pm["normal"], np.float32),
+                d=float(pm["d"]),
+                color=tuple(pm["color"]),
+                bounds=arr(f"free_plane{pm['id']}/bounds").astype(np.float32),
+            )
+            for pm in manifest.get("free_planes", [])
+        }
+
     walls = [
         (Axis(w[0]), WallRelation(w[1], w[2]), int(w[3]), int(w[4]))
         for w in manifest["connected_walls"]
     ]
 
     if into is None:
-        scene = Scene(rooms=rooms, connected_walls=walls, next_id=manifest["next_id"])
+        scene = Scene(
+            rooms=rooms,
+            connected_walls=walls,
+            next_id=manifest["next_id"],
+            planes=free_planes,
+        )
         return scene
 
     # Merge with ID rebasing: bump every loaded ID by the live next_id.
@@ -245,6 +286,10 @@ def load_scene(
         bumped = room.bump_ids(bump)
         into.rooms[bumped.room_id] = bumped
         max_id = max(max_id, max(bumped.get_ids()))
+    for p in free_planes.values():
+        bumped_p = p.bump_ids(bump)
+        into.planes[bumped_p.plane_id] = bumped_p
+        max_id = max(max_id, bumped_p.plane_id)
     for axis, rel, p1, p2 in walls:
         into.connected_walls.append((axis, rel, p1 + bump, p2 + bump))
     into.next_id = max_id + 1

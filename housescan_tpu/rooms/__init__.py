@@ -23,7 +23,11 @@ from housescan_tpu.rooms.corners import (
     suggest_corners,
 )
 from housescan_tpu.rooms.cuboid import fit_cuboid_to_room, make_planes_from_cuboid
-from housescan_tpu.rooms.align import auto_align_floor, room_auto_align_axis
+from housescan_tpu.rooms.align import (
+    auto_align_floor,
+    room_auto_align_axis,
+    rotate_room_to_match_walls,
+)
 from housescan_tpu.rooms.walls import connect_walls, disconnect_walls, optimize_room_positions
 from housescan_tpu.rooms.export import (
     export_all_room_pcl_transforms,
@@ -56,6 +60,7 @@ __all__ = [
     "make_planes_from_cuboid",
     "auto_align_floor",
     "room_auto_align_axis",
+    "rotate_room_to_match_walls",
     "connect_walls",
     "disconnect_walls",
     "optimize_room_positions",

@@ -31,6 +31,63 @@ _ROOM_COLORS = np.array(
 )
 
 
+def look_at_pose(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """4x4 row-vector camera-to-world pose looking from ``eye`` at
+    ``target``. Camera convention: x right, y down, z forward; world up
+    is -Y (rooms/align.py), so camera-down aligns with world +Y.
+    Degenerate (vertical) view directions fall back to world +X as
+    right."""
+    eye = np.asarray(eye, np.float64)
+    target = np.asarray(target, np.float64)
+    fwd = target - eye
+    n = np.linalg.norm(fwd)
+    fwd = fwd / n if n > 1e-9 else np.array([0.0, 0.0, 1.0])
+    down = np.array([0.0, 1.0, 0.0])
+    right = np.cross(down, fwd)
+    rn = np.linalg.norm(right)
+    if rn < 1e-6:  # looking straight up/down
+        right = np.array([1.0, 0.0, 0.0])
+    else:
+        right = right / rn
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[0, :3] = right
+    pose[1, :3] = down
+    pose[2, :3] = fwd
+    pose[3, :3] = eye
+    return pose
+
+
+def frame_scene(scene: Scene) -> Tuple[np.ndarray, np.ndarray]:
+    """(eye, target) auto-framing the whole scene: look at the bounding
+    box center from above-diagonal at ~2.2x the bounding radius (the
+    reference started its camera pulled back on the scene too,
+    Main.hs:877-898 camera state)."""
+    pts = []
+    for r in scene.rooms.values():
+        p = np.asarray(r.cloud.points, np.float64)
+        p = p[np.isfinite(p).all(axis=1)]
+        if len(p):
+            pts.append(p.min(axis=0))
+            pts.append(p.max(axis=0))
+        for _, c in r.corners:
+            pts.append(np.asarray(c, np.float64))
+    for p in scene.planes.values():
+        if len(p.bounds):
+            pts.append(p.bounds.min(axis=0))
+            pts.append(p.bounds.max(axis=0))
+    if not pts:
+        return np.array([0.0, -1.0, -3.0]), np.zeros(3)
+    lo = np.min(pts, axis=0)
+    hi = np.max(pts, axis=0)
+    center = (lo + hi) / 2
+    radius = max(float(np.linalg.norm(hi - lo)) / 2, 0.5)
+    # Above (-Y is up) and diagonally back.
+    direction = np.array([-0.55, -0.55, -0.65])
+    eye = center + direction / np.linalg.norm(direction) * radius * 2.2
+    return eye, center
+
+
 def render_scene(
     scene: Scene,
     pose: np.ndarray,
@@ -95,6 +152,14 @@ def render_scene(
             cs = np.stack([c for _, c in r.suggested_corners]).astype(np.float64)
             u, v, z, ok = project(cs)
             splat(u, v, z - 0.01, ok, np.array([0.2, 1.0, 0.2], np.float32), corner_px)
+
+    # Free-standing planes: splat their boundary polygons (the reference
+    # drew sPlanes alongside rooms, Main.hs:653-670).
+    for pid in sorted(scene.planes):
+        p = scene.planes[pid]
+        if len(p.bounds):
+            u, v, z, ok = project(np.asarray(p.bounds, np.float64))
+            splat(u, v, z, ok, np.asarray(p.color, np.float32), point_px)
 
     if out_path is not None:
         write_image(out_path, img)

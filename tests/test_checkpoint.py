@@ -133,3 +133,58 @@ class TestFingerprint:
         with zipfile.ZipFile(path) as zf:
             manifest = json.loads(zf.read("manifest.json"))
         assert manifest["schema_fingerprint"] == schema_fingerprint()
+
+
+class TestFreePlanes:
+    """v4: free-standing planes persist (the reference kept sPlanes
+    transient, Main.hs:252-255; our one-process-per-subcommand CLI
+    cannot)."""
+
+    def _with_free_plane(self, scene):
+        from housescan_tpu.rooms.types import Plane
+
+        p = Plane(
+            plane_id=scene.gen_id(),
+            normal=np.array([0.0, 0.6, 0.8], np.float32),
+            d=-0.35,
+            color=(0.1, 0.9, 0.4),
+            bounds=np.array([[0, 0, 0], [1, 0, 0], [1, 1, 1]], np.float32),
+        )
+        scene.planes[p.plane_id] = p
+        return p
+
+    def test_round_trip(self, populated_scene, tmp_path):
+        p = self._with_free_plane(populated_scene)
+        path = save_scene(populated_scene, tmp_path / "fp.housescan")
+        loaded = load_scene(path)
+        assert set(loaded.planes) == {p.plane_id}
+        lp = loaded.planes[p.plane_id]
+        np.testing.assert_allclose(lp.normal, p.normal)
+        assert lp.d == pytest.approx(p.d)
+        assert lp.color == pytest.approx(p.color)
+        np.testing.assert_array_equal(lp.bounds, p.bounds)
+
+    def test_merge_rebases_free_plane_ids(self, populated_scene, tmp_path):
+        p = self._with_free_plane(populated_scene)
+        path = save_scene(populated_scene, tmp_path / "fp.housescan")
+        into = load_scene(path)
+        bump = into.next_id
+        merged = load_scene(path, into=into)
+        assert len(merged.planes) == 2
+        # The re-loaded copy is bumped by the live counter (ref bumpIDsBy).
+        assert set(merged.planes) == {p.plane_id, p.plane_id + bump}
+        assert merged.next_id > p.plane_id + bump
+
+    def test_v3_without_free_planes_loads(self, populated_scene, tmp_path):
+        self._with_free_plane(populated_scene)
+        path = save_scene(populated_scene, tmp_path / "v3.housescan")
+
+        def to_v3(m):
+            m.pop("free_planes")
+            m["schema_version"] = 3
+            return m
+
+        TestMigrations._rewrite_version(self, path, to_v3)
+        loaded = load_scene(path)
+        assert loaded.planes == {}  # migration default: empty
+        assert len(loaded.rooms) == 2

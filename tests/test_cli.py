@@ -210,3 +210,84 @@ class TestCornerCommands:
         rid = str(sorted(_rooms(scene_path))[0])
         with pytest.raises(SystemExit):
             main(["--scene", scene_path, "accept-corner", "--room", rid, "424242"])
+
+
+class TestRotateAndRender:
+    def test_rotate_room_branch(self, two_room_scene):
+        rooms = _rooms(two_room_scene)
+        r1, r2 = sorted(rooms)
+        # Both +X-facing walls -> target is flipped, a 180-degree rotation.
+        p1 = max(rooms[r1].planes, key=lambda p: p.normal[0])
+        p2 = max(rooms[r2].planes, key=lambda p: p.normal[0])
+        main(["--scene", two_room_scene, "rotate",
+              str(p1.plane_id), str(p2.plane_id)])
+        rooms2 = _rooms(two_room_scene)
+        got = rooms2[r1].find_plane(p1.plane_id)
+        np.testing.assert_allclose(got.normal, -p2.normal, atol=1e-5)
+        # room 2 untouched
+        np.testing.assert_allclose(
+            rooms2[r2].cloud.points, rooms[r2].cloud.points
+        )
+
+    def test_rotate_bare_plane_branch_persists(self, two_room_scene):
+        """A free-standing plane 1 gains a rotated copy that SURVIVES the
+        save/load round trip (checkpoint v4 free planes)."""
+        from housescan_tpu.io.checkpoint import save_scene
+        from housescan_tpu.rooms.types import Plane
+
+        scene = load_scene(two_room_scene)
+        free = Plane(
+            plane_id=scene.gen_id(),
+            normal=np.array([0.6, 0.8, 0.0], np.float32),
+            d=0.25,
+            bounds=np.array(
+                [[0.15, 0.2, 0], [0.95, -0.4, 0], [0.95, -0.4, 1],
+                 [0.15, 0.2, 1]], np.float32,
+            ),
+        )
+        scene.planes[free.plane_id] = free
+        save_scene(scene, two_room_scene)
+        rooms = _rooms(two_room_scene)
+        p2 = max(
+            rooms[sorted(rooms)[1]].planes, key=lambda p: p.normal[0]
+        )
+        main(["--scene", two_room_scene, "rotate",
+              str(free.plane_id), str(p2.plane_id)])
+        loaded = load_scene(two_room_scene)
+        new = [
+            p for pid, p in loaded.planes.items() if pid != free.plane_id
+        ]
+        assert len(new) == 1
+        np.testing.assert_allclose(new[0].normal, p2.normal, atol=1e-5)
+        assert free.plane_id in loaded.planes  # original kept
+
+    def test_rotate_unknown_plane_exits(self, two_room_scene):
+        with pytest.raises(SystemExit):
+            main(["--scene", two_room_scene, "rotate", "999999", "999998"])
+
+    def test_render_auto_framed(self, two_room_scene, tmp_path):
+        out = tmp_path / "scene.ppm"
+        main(["--scene", two_room_scene, "render", "--out", str(out),
+              "--width", "320", "--height", "240"])
+        assert out.exists()
+        data = out.read_bytes()
+        assert data.startswith(b"P6\n320 240\n255\n")
+        img = np.frombuffer(
+            data[len(b"P6\n320 240\n255\n"):], np.uint8
+        ).reshape(240, 320, 3)
+        # Auto-framing actually put the rooms in view: a meaningful
+        # fraction of pixels differ from the background (0.08*255=20).
+        nonbg = (np.abs(img.astype(int) - 20) > 4).any(axis=-1).mean()
+        assert nonbg > 0.05
+
+    def test_render_explicit_eye(self, two_room_scene, tmp_path):
+        out = tmp_path / "eye.ppm"
+        main(["--scene", two_room_scene, "render", "--out", str(out),
+              "--width", "160", "--height", "120",
+              "--eye", "2,-6,-6", "--look-at", "2,1,2"])
+        assert out.exists()
+
+    def test_render_empty_scene_exits(self, scene_path, tmp_path):
+        with pytest.raises(SystemExit):
+            main(["--scene", scene_path, "render",
+                  "--out", str(tmp_path / "x.ppm")])

@@ -392,3 +392,89 @@ class TestEndToEndSlice:
                 full_res_path=d / "cloud_bin.pcd",
             )
             assert out.exists()
+
+
+class TestRotateToMatchWalls:
+    """The reference's 'r' key (rotateSelectedPlanes, ref
+    Main.hs:1629-1654): both the room-rotating and the bare-plane
+    branches."""
+
+    def _two_rooms(self, scene, tmp_path):
+        dims = (4.0, 2.5, 5.0)
+        rooms = []
+        for i in range(2):
+            d = make_synthetic_room_dir(
+                tmp_path / f"room{i}", dims=dims, seed=i,
+                offset=np.array([i * (dims[0] + 0.4), 0, 0]),
+            )
+            rooms.append(load_room(scene, d))
+        return rooms
+
+    def test_room_branch_makes_walls_antiparallel(self, scene, tmp_path):
+        from housescan_tpu.rooms import rotate_room_to_match_walls
+        from housescan_tpu.rooms.types import Room
+
+        ra, rb = self._two_rooms(scene, tmp_path)
+        # Both +X-facing walls: the target is the FLIPPED p2 normal, so a
+        # nontrivial 180-degree rotation is required.
+        p1 = max(ra.planes, key=lambda p: p.normal[0])
+        p2 = max(rb.planes, key=lambda p: p.normal[0])
+        got = rotate_room_to_match_walls(scene, p1.plane_id, p2.plane_id)
+        assert isinstance(got, Room)
+        new_p1 = got.find_plane(p1.plane_id)
+        np.testing.assert_allclose(new_p1.normal, -p2.normal, atol=1e-5)
+        # The whole room rotated rigidly about its mean: point count and
+        # pairwise extent preserved.
+        assert len(got.cloud.points) == len(ra.cloud.points)
+        ext_a = np.sort(ra.cloud.points.max(0) - ra.cloud.points.min(0))
+        ext_b = np.sort(got.cloud.points.max(0) - got.cloud.points.min(0))
+        np.testing.assert_allclose(ext_a, ext_b, atol=1e-3)
+        # Scene state was updated in place.
+        assert scene.rooms[got.room_id] is got
+
+    def test_bare_plane_branch_adds_rotated_copy(self, scene, tmp_path):
+        from housescan_tpu.rooms import rotate_room_to_match_walls
+        from housescan_tpu.rooms.types import Plane, Room
+
+        (rb,) = [self._two_rooms(scene, tmp_path)[1]]
+        p2 = max(rb.planes, key=lambda p: p.normal[0])
+        # A free-standing plane with an oblique normal and a real boundary.
+        n = np.array([0.6, 0.8, 0.0], np.float32)
+        bounds = np.array(
+            [[0, 0, 0], [0.8, -0.6, 0], [0.8, -0.6, 1], [0, 0, 1]], np.float32
+        )
+        free = Plane(
+            plane_id=scene.gen_id(), normal=n, d=0.0, bounds=bounds
+        )
+        scene.planes[free.plane_id] = free
+        n_rooms_before = {rid: r for rid, r in scene.rooms.items()}
+        got = rotate_room_to_match_walls(scene, free.plane_id, p2.plane_id)
+        assert not isinstance(got, Room)
+        # The new plane's normal matches p2's UNFLIPPED normal
+        # (ref Main.hs:1646-1648), the original is kept, and the copy got
+        # a fresh ID in the free-standing set.
+        np.testing.assert_allclose(got.normal, p2.normal, atol=1e-5)
+        assert got.plane_id != free.plane_id
+        assert scene.planes[free.plane_id] is free
+        assert scene.planes[got.plane_id] is got
+        # Rotation was about the plane mean: boundary centroid unmoved,
+        # boundary shape (pairwise distances) preserved.
+        np.testing.assert_allclose(got.mean(), free.mean(), atol=1e-5)
+        d_old = np.linalg.norm(bounds[:, None] - bounds[None, :], axis=-1)
+        d_new = np.linalg.norm(
+            got.bounds[:, None] - got.bounds[None, :], axis=-1
+        )
+        np.testing.assert_allclose(d_new, d_old, atol=1e-5)
+        # Boundary lies on the new plane: n.x = d for every corner.
+        np.testing.assert_allclose(
+            got.bounds @ got.normal, np.full(4, got.d), atol=1e-5
+        )
+        # No room was touched.
+        assert scene.rooms == n_rooms_before
+
+    def test_unknown_plane_raises(self, scene, tmp_path):
+        from housescan_tpu.rooms import rotate_room_to_match_walls
+
+        self._two_rooms(scene, tmp_path)
+        with pytest.raises(KeyError):
+            rotate_room_to_match_walls(scene, 999999, 999998)
