@@ -17,7 +17,10 @@ HOUSESCAN_BENCH_WH ("640x480"), HOUSESCAN_BENCH_NOISE (meters of
 Kinect-like depth noise sigma at 2 m, e.g. 0.002 — default off),
 HOUSESCAN_BENCH_QUANT=1 (round frames through the uint16-mm wire format
 the reference's camera produced, ref HoniHelper.hs:20-46 — default
-off), HOUSESCAN_BENCH_MESH=0 (skip the mesh-export timing).
+off), HOUSESCAN_BENCH_MESH=0 (skip the mesh-export timing),
+HOUSESCAN_BENCH_WORLD=curved (spheres + cylinder + rotated boxes in the
+scene — geometry the piecewise-planar raycast model cannot represent
+exactly; the pose gate widens per the measured curvature penalty).
 """
 
 import json
@@ -38,6 +41,7 @@ def main() -> None:
     from housescan_tpu.kinfu.camera import Intrinsics
     from housescan_tpu.kinfu.pipeline import kinfu_init, kinfu_step
     from housescan_tpu.kinfu.synthetic import (
+        curved_furnished_room,
         furnished_room,
         orbit_poses,
         render_depth_stream,
@@ -56,7 +60,13 @@ def main() -> None:
         cx=width / 2 - 0.5,
         cy=height / 2 - 0.5,
     )
-    half, boxes = furnished_room()
+    world = os.environ.get("HOUSESCAN_BENCH_WORLD", "box")
+    if world == "curved":
+        half, boxes, spheres, cyls, obbs = curved_furnished_room()
+        shapes = dict(boxes=boxes, spheres=spheres, cylinders=cyls, obbs=obbs)
+    else:
+        half, boxes = furnished_room()
+        shapes = dict(boxes=boxes)
     poses = orbit_poses(n_frames + 1, radius=0.25, yaw_range=0.02 * n_frames, pitch=0.25)
     # Realistic sensor conditions (VERDICT r3 missing #1): optional
     # depth-dependent noise and the uint16-mm wire quantization every
@@ -64,7 +74,7 @@ def main() -> None:
     # the driver's headline gate is unchanged.
     noise = float(os.environ.get("HOUSESCAN_BENCH_NOISE", "0"))
     quant = os.environ.get("HOUSESCAN_BENCH_QUANT", "") == "1"
-    frames = render_depth_stream(intr, poses, half, boxes=boxes, noise=noise)
+    frames = render_depth_stream(intr, poses, half, noise=noise, **shapes)
     if quant:
         frames = (np.round(np.asarray(frames) * 1000.0).astype(np.uint16)
                   .astype(np.float32) / 1000.0)
@@ -136,12 +146,37 @@ def main() -> None:
         mesh = marching_cubes(state.volume)
         out_ply = Path(tempfile.mkdtemp()) / "mesh.ply"
         save_ply(out_ply, mesh)
+        cold_s = time.time() - t0
+        # The gated metric is the WARM export: the cold one folds in the
+        # one-time XLA compile of the two whole-volume programs (cached
+        # across runs by the persistent compilation cache, but the
+        # driver may start cold), which would gate compiler speed, not
+        # the export path.
+        t0 = time.time()
+        mesh = marching_cubes(state.volume)
+        save_ply(out_ply, mesh)
         mesh_export_s = time.time() - t0
         print(
-            f"# mesh export: {mesh_export_s:.2f}s "
-            f"({mesh.vertices.shape[0] // 3} triangles)",
+            f"# mesh export: {mesh_export_s:.2f}s warm / {cold_s:.2f}s "
+            f"cold ({mesh.vertices.shape[0] // 3} triangles)",
             file=sys.stderr,
         )
+        # Mesh-export budget gate: the metric went 2653 s -> 157 s ->
+        # 34.8 s -> single-program (2 dispatches); a layout or dispatch
+        # regression must fail loudly like a pose regression does.
+        # Budget scales with volume (triangle count ~ res^2 but slab
+        # compute ~ res^3); floor keeps small-res CI runs meaningful.
+        # Override: HOUSESCAN_BENCH_MESH_BUDGET (seconds).
+        mesh_budget_s = float(
+            os.environ.get("HOUSESCAN_BENCH_MESH_BUDGET", "0")
+        ) or max(20.0 * (resolution / 512.0) ** 3, 10.0)
+        if mesh_export_s > mesh_budget_s:
+            print(
+                f"# FAIL: mesh export {mesh_export_s:.1f}s exceeds the "
+                f"{mesh_budget_s:.0f}s budget at {resolution}^3",
+                file=sys.stderr,
+            )
+            sys.exit(1)
     print(f"# pose error vs ground truth after {n_frames} frames: "
           f"{pose_err_mm:.2f} mm", file=sys.stderr)
     # Hard tracking-quality gate: regressions must fail LOUDLY, not ride

@@ -70,7 +70,14 @@ def _room_by_id(scene, room_id):
 def _scan_config(args):
     """Config with the volume geometry flags applied (None = defaults)."""
     trunc = getattr(args, "trunc", None)
-    if args.resolution is None and args.size_m is None and trunc is None:
+    ransac_flags = [
+        getattr(args, k, None)
+        for k in ("ransac_hypotheses", "ransac_max_planes", "ransac_min_inliers")
+    ]
+    if (
+        args.resolution is None and args.size_m is None and trunc is None
+        and all(v is None for v in ransac_flags)
+    ):
         return None
     from dataclasses import replace
 
@@ -93,7 +100,14 @@ def _scan_config(args):
             "pass --trunc >= ~1.5 voxels",
             file=sys.stderr,
         )
-    return replace(cfg, tsdf=tsdf)
+    ransac = cfg.ransac
+    if ransac_flags[0] is not None:
+        ransac = replace(ransac, n_hypotheses=ransac_flags[0])
+    if ransac_flags[1] is not None:
+        ransac = replace(ransac, max_planes=ransac_flags[1])
+    if ransac_flags[2] is not None:
+        ransac = replace(ransac, min_inlier_fraction=ransac_flags[2])
+    return replace(cfg, tsdf=tsdf, ransac=ransac)
 
 
 def _add_volume_flags(p):
@@ -110,6 +124,19 @@ def _add_volume_flags(p):
         "--trunc", type=float, default=None, metavar="M",
         help="TSDF truncation distance in meters (default 0.03; keep it "
         ">= ~1.5 voxels or the band holds no voxel centers)",
+    )
+    p.add_argument(
+        "--ransac-hypotheses", type=int, default=None, metavar="N",
+        help="RANSAC plane hypotheses (default 512)",
+    )
+    p.add_argument(
+        "--ransac-max-planes", type=int, default=None, metavar="N",
+        help="max detected planes per room (default 8)",
+    )
+    p.add_argument(
+        "--ransac-min-inliers", type=float, default=None, metavar="F",
+        help="min inlier fraction per plane (default 0.05; lower it for "
+        "coarse/furnished scans whose small faces fall under the bar)",
     )
 
 
@@ -155,10 +182,21 @@ def cmd_scan_building(args):
     from housescan_tpu.capture.replay import load_stream
     from housescan_tpu.kinfu.building import RoomScan, scan_building
 
-    rooms = [
-        RoomScan(name=Path(s).stem, stream=load_stream(s))
-        for s in args.streams
-    ]
+    rooms = []
+    for s in args.streams:
+        stream = load_stream(s)
+        kp = stream.poses if args.known_poses else None
+        if args.known_poses and kp is None:
+            raise SystemExit(f"{s}: stream has no recorded poses "
+                             "(--known-poses needs them)")
+        rooms.append(
+            RoomScan(
+                name=Path(s).stem,
+                stream=stream,
+                init_pose=None if kp is None else kp[0],
+                known_poses=kp,
+            )
+        )
     mesh = None
     if args.sharded:
         import jax
@@ -167,8 +205,14 @@ def cmd_scan_building(args):
         from housescan_tpu.parallel.mesh import VOLUME_AXIS
 
         mesh = Mesh(np.array(jax.devices()), (VOLUME_AXIS,))
+    floors = (
+        [int(x) for x in args.floors.split(",")]
+        if "," in args.floors
+        else int(args.floors)
+    )
+    n_floors = len(floors) if isinstance(floors, list) else floors
     layout = args.layout
-    if args.floors > 1 and layout == "chain":
+    if n_floors > 1 and layout == "chain":
         layout = "grid"  # floors only exist on the grid layout
     scene, fitted, out = scan_building(
         rooms,
@@ -181,7 +225,7 @@ def cmd_scan_building(args):
         write_mesh=args.mesh,
         gap=args.gap,
         layout=layout,
-        floors=args.floors,
+        floors=floors,
     )
     _save_scene(scene, args.scene)
     print(
@@ -686,9 +730,15 @@ def main(argv=None):
         "Cantor-diagonal 2-D grid (ref Main.hs:2328-2331)",
     )
     p.add_argument(
-        "--floors", type=int, default=1, metavar="N",
-        help="stack the grid into N floors chained ceiling-to-floor "
-        "(the 3-floor houseSetup, ref Main.hs:2448-2517); implies "
+        "--known-poses", action="store_true",
+        help="fuse at each stream's RECORDED camera poses instead of "
+        "tracking (offline re-fuse of a pre-tracked scan)",
+    )
+    p.add_argument(
+        "--floors", default="1", metavar="N|N1,N2,...",
+        help="stack the grid into floors chained ceiling-to-floor (the "
+        "3-floor houseSetup, ref Main.hs:2448-2517): an even count "
+        "('3') or an explicit per-floor room split ('9,8,6'); implies "
         "--layout grid",
     )
     p.add_argument(

@@ -169,20 +169,36 @@ def cantor_slots(n: int) -> List[Tuple[int, int]]:
     return out[:n]
 
 
-def cantor_slots_3d(n: int, floors: int) -> List[Tuple[int, int, int]]:
+def cantor_slots_3d(n: int, floors) -> List[Tuple[int, int, int]]:
     """First ``n`` 3-D grid slots: rooms fill ``floors`` contiguous
     chunks bottom-up (the houseSetup shape — ground/first/second floor
     room lists, ref Main.hs:2448-2517), each floor laid out on the
     2-D Cantor grid. Returns (gx, floor, gz) with floor 0 at the
-    bottom; vertically adjacent floors share (gx, gz) so every room
-    has an upstairs/downstairs partner to chain ceiling-to-floor."""
-    per = -(-n // floors)  # ceil
-    grid = cantor_slots(per)
+    bottom; floors share the same Cantor grid ordering, so any two
+    floors' common slot prefix is vertically aligned and every such
+    room has an upstairs/downstairs partner to chain ceiling-to-floor.
+
+    ``floors`` is either an int (rooms split evenly, ceil per floor) or
+    an explicit per-floor room-count sequence — the reference's
+    houseSetup was 9+8+6 across its three floors."""
+    if isinstance(floors, int):
+        per = [-(-n // floors)] * floors  # ceil, evenly
+    else:
+        per = list(floors)
+        if sum(per) < n:
+            raise ValueError(
+                f"floor split {per} holds {sum(per)} rooms < {n}"
+            )
     out: List[Tuple[int, int, int]] = []
-    for i in range(n):
-        f, j = divmod(i, per)
-        gx, gz = grid[j]
+    f = 0
+    in_floor = 0
+    for _ in range(n):
+        while in_floor >= per[f]:
+            f += 1
+            in_floor = 0
+        gx, gz = cantor_slots(in_floor + 1)[in_floor]
         out.append((gx, f, gz))
+        in_floor += 1
     return out
 
 
@@ -219,11 +235,12 @@ def scan_building(
     (config.rooms.grid_spacing meters apart, ref Main.hs:2504) and
     chains every grid-adjacent pair along BOTH the X and Z axes, so
     the position optimization solves a genuinely 2-D building.
-    ``floors`` > 1 stacks the grid into a 3-D building (the 3-floor
-    houseSetup, ref Main.hs:2448-2517): rooms split into contiguous
-    per-floor chunks, floors stack on Y (upper floors at more-negative
-    Y — world up is -Y), and vertically adjacent rooms chain
-    ceiling-to-floor so the optimizer solves Y too."""
+    ``floors`` > 1 (an int, or an explicit per-floor room-count list
+    like houseSetup's 9+8+6) stacks the grid into a 3-D building (the
+    3-floor houseSetup, ref Main.hs:2448-2517): rooms split into
+    contiguous per-floor chunks, floors stack on Y (upper floors at
+    more-negative Y — world up is -Y), and vertically adjacent rooms
+    chain ceiling-to-floor so the optimizer solves Y too."""
     from housescan_tpu.rooms import (
         Scene,
         WallRelation,

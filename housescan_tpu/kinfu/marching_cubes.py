@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from housescan_tpu.io.ply import Mesh
-from housescan_tpu.kinfu.tsdf import TsdfVolume
+from housescan_tpu.kinfu.tsdf import TsdfVolume, unpack_t, unpack_w
 
 # Cube corners in standard MC ordering (bit k of a case = corner k inside).
 _CORNERS = np.array(
@@ -106,6 +106,7 @@ def _slab_triangles(
     x0: jnp.ndarray,
     origin: jnp.ndarray,
     voxel_size: jnp.ndarray,
+    x_mask: jnp.ndarray = None,  # (SX,) bool: cells this slab OWNS
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense triangle slots for one slab, COMPONENT-PLANE layout:
     verts (9, 12, SX, Y-1, Z-1) — the 9 floats of each slot's triangle
@@ -130,6 +131,10 @@ def _slab_triangles(
     observed = corner_w[0] > 0
     for w in corner_w[1:]:
         observed = observed & (w > 0)
+    if x_mask is not None:
+        # Clamped last-slab overlap: only owned cells emit (the in-jit
+        # slab loop clamps x0 to r-1-slab, repeating some cells).
+        observed = observed & x_mask[:, None, None]
 
     gx = (x0 + jnp.arange(sx, dtype=jnp.float32))[:, None, None]
     gy = jnp.arange(ny, dtype=jnp.float32)[None, :, None]
@@ -216,14 +221,14 @@ def _slab_triangles(
     return verts, valid
 
 
-_slab_triangles_jit = jax.jit(_slab_triangles)
-
-
 from functools import partial
 
 
-@jax.jit
-def _slab_count(tsdf_slab: jnp.ndarray, weight_slab: jnp.ndarray) -> jnp.ndarray:
+def _slab_count(
+    tsdf_slab: jnp.ndarray,
+    weight_slab: jnp.ndarray,
+    x_mask: jnp.ndarray = None,
+) -> jnp.ndarray:
     """EXACT triangle count for one slab — the cheap sizing pass (no
     edge interpolation, no 12-slot dense arrays)."""
     sx = tsdf_slab.shape[0] - 1
@@ -235,6 +240,8 @@ def _slab_count(tsdf_slab: jnp.ndarray, weight_slab: jnp.ndarray) -> jnp.ndarray
         corner_t.append(tsdf_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz])
         w = weight_slab[dx : dx + sx, dy : dy + ny, dz : dz + nz] > 0
         observed = w if observed is None else (observed & w)
+    if x_mask is not None:
+        observed = observed & x_mask[:, None, None]
     ntri_tab = jnp.asarray(_TET_NTRI)
     total = jnp.zeros((), jnp.int32)
     for tet in _TETS:
@@ -256,8 +263,8 @@ def _slab_count(tsdf_slab: jnp.ndarray, weight_slab: jnp.ndarray) -> jnp.ndarray
     return total
 
 
-@partial(jax.jit, donate_argnums=(5,))
-def _slab_compact(tsdf_slab, w_slab, x0, origin, voxel_size, dst, offset):
+def _slab_compact(tsdf_slab, w_slab, x0, origin, voxel_size, dst, offset,
+                  x_mask=None):
     """One slab's triangles compacted into the running (9, cap+1)
     buffer, entirely ON DEVICE. The dense per-cell slot array for a
     512^3 slab is ~0.9 GB, and transferring it to the host for boolean
@@ -278,6 +285,7 @@ def _slab_compact(tsdf_slab, w_slab, x0, origin, voxel_size, dst, offset):
         x0,
         origin,
         voxel_size,
+        x_mask=x_mask,
     )
     cap = dst.shape[1] - 1  # last column is the overflow dump slot
     n = valid.size
@@ -293,6 +301,65 @@ def _slab_compact(tsdf_slab, w_slab, x0, origin, voxel_size, dst, offset):
     return dst, offset + jnp.sum(ok.astype(jnp.int32))
 
 
+def _slice_slab(data, x0, slab):
+    """(tsdf, weight) f32 slabs [x0, x0+slab] inclusive of the +1 corner
+    plane, from either volume storage (int-packed (X,Y,Z) or float
+    (2,X,Y,Z))."""
+    if data.ndim == 3:
+        blk = jax.lax.dynamic_slice_in_dim(data, x0, slab + 1, 0)
+        return unpack_t(blk), unpack_w(blk)
+    ts = jax.lax.dynamic_slice_in_dim(data[0], x0, slab + 1, 0)
+    ws = jax.lax.dynamic_slice_in_dim(data[1], x0, slab + 1, 0)
+    return ts.astype(jnp.float32), ws.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("slab",))
+def _count_program(data, min_weight, slab):
+    """EXACT whole-volume triangle count as ONE compiled program:
+    lax.fori_loop over X-slabs sliced in-program. The per-slab-dispatch
+    version paid ~0.5 s of relay overhead per slab (~32 dispatches at
+    512^3) — dispatch glue, not compute (PERFORMANCE.md mesh section).
+    The last slab's x0 clamps to r-1-slab; x_mask hands the overlap
+    cells to their owning slab exactly once."""
+    r = data.shape[-3]
+    n_slabs = -(-(r - 1) // slab)
+
+    def body(i, total):
+        x0 = jnp.minimum(i * slab, r - 1 - slab)
+        ts, ws = _slice_slab(data, x0, slab)
+        ws = jnp.where(ws >= min_weight, ws, 0.0)
+        x_mask = (x0 + jnp.arange(slab)) >= i * slab
+        return total + _slab_count(ts, ws, x_mask)
+
+    return jax.lax.fori_loop(0, n_slabs, body, jnp.zeros((), jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("slab", "cap"))
+def _compact_program(data, origin, voxel_size, min_weight, slab, cap):
+    """Whole-volume triangle compaction as ONE compiled program: the
+    (9, cap+1) output buffer is the fori_loop carry; each step slices
+    its slab in-program and merges its compacted columns. One dispatch +
+    one (9, cap+1) transfer replaces ~32 dispatches."""
+    r = data.shape[-3]
+    n_slabs = -(-(r - 1) // slab)
+    dst0 = jnp.zeros((9, cap + 1), jnp.float32)
+
+    def body(i, carry):
+        dst, offset = carry
+        x0 = jnp.minimum(i * slab, r - 1 - slab)
+        ts, ws = _slice_slab(data, x0, slab)
+        ws = jnp.where(ws >= min_weight, ws, 0.0)
+        x_mask = (x0 + jnp.arange(slab)) >= i * slab
+        return _slab_compact(
+            ts, ws, x0.astype(jnp.float32), origin, voxel_size,
+            dst, offset, x_mask=x_mask,
+        )
+
+    return jax.lax.fori_loop(
+        0, n_slabs, body, (dst0, jnp.zeros((), jnp.int32))
+    )
+
+
 def marching_cubes(
     vol: TsdfVolume,
     slab: int = 16,
@@ -302,44 +369,34 @@ def marching_cubes(
     """Extract the zero-isosurface triangle mesh of a TSDF volume.
 
     Device work proceeds in X-slabs (bounded memory; slab >= 16
-    measured 50x cheaper per slab than 8 on the relay backend); a cheap
-    exact counting pass sizes the output buffer (rounded to a power of
-    two so jit traces stay bucketed), then triangles are compacted ON
-    DEVICE into that one buffer and transferred once. ``max_triangles``
-    overrides the measured size (mostly for tests). Returns a
-    triangle-soup Mesh (Meshlab and the .ply pipeline handle soups
-    fine; dedup is a host-side post-pass).
+    measured 50x cheaper per slab than 8 on the relay backend), but as
+    exactly TWO compiled programs — a whole-volume exact counting pass
+    that sizes the output buffer (rounded to a power of two so jit
+    traces stay bucketed), then a whole-volume compaction pass carrying
+    the (9, cap+1) buffer through a fori_loop — so the dominant cost of
+    the previous ~64-dispatch version (~0.5 s relay overhead per
+    dispatch) is gone. ``max_triangles`` overrides the measured size
+    (mostly for tests). Returns a triangle-soup Mesh (Meshlab and the
+    .ply pipeline handle soups fine; dedup is a host-side post-pass).
     """
     r = vol.resolution
-
-    def slabs():
-        for x0 in range(0, r - 1, slab):
-            sx = min(slab, r - 1 - x0)
-            tsdf_slab = jax.lax.dynamic_slice_in_dim(vol.tsdf, x0, sx + 1, 0)
-            w_slab = jax.lax.dynamic_slice_in_dim(vol.weight, x0, sx + 1, 0)
-            w_slab = jnp.where(w_slab >= min_weight, w_slab, 0.0)
-            yield x0, tsdf_slab, w_slab
+    slab = min(slab, r - 1)
+    if slab <= 0:
+        return Mesh(
+            vertices=np.zeros((0, 3), np.float32),
+            faces=np.zeros((0, 3), np.int32),
+        )
+    min_w = jnp.asarray(min_weight, jnp.float32)
 
     if max_triangles:
         cap = max_triangles
     else:
-        total = jnp.zeros((), jnp.int32)
-        for _x0, ts, ws in slabs():
-            total = total + _slab_count(ts, ws)
-        cap = max(1 << int(np.ceil(np.log2(max(int(total), 1) + 1))), 1 << 12)
+        total = int(_count_program(vol.data, min_w, slab))
+        cap = max(1 << int(np.ceil(np.log2(max(total, 1) + 1))), 1 << 12)
 
-    dst = jnp.zeros((9, cap + 1), jnp.float32)
-    offset = jnp.asarray(0, jnp.int32)
-    for x0, ts, ws in slabs():
-        dst, offset = _slab_compact(
-            ts,
-            ws,
-            jnp.asarray(x0, jnp.float32),
-            vol.origin,
-            vol.voxel_size,
-            dst,
-            offset,
-        )
+    dst, offset = _compact_program(
+        vol.data, vol.origin, vol.voxel_size, min_w, slab, cap
+    )
     n = int(offset)
     if n > cap:
         import sys

@@ -1,11 +1,15 @@
-"""Synthetic depth-stream rendering: analytic cuboid-room scanner.
+"""Synthetic depth-stream rendering: analytic room scanner.
 
 The reference's KinFu inputs were recorded Kinect streams on the author's
 disk; for CI, benchmarks, and parity tests we render exact depth frames
-of a cuboid room (optionally with boxes inside) from analytic ray-box
-intersections, with exact ground-truth poses and an exact ground-truth
-TSDF. This is the 'recorded depth stream' test path called for by
-SURVEY.md section 4.
+of a cuboid room — furnished with boxes, spheres, capped cylinders, and
+yaw-rotated boxes — from analytic ray intersections, with exact
+ground-truth poses and an exact ground-truth TSDF. This is the 'recorded
+depth stream' test path called for by SURVEY.md section 4; the curved
+shapes (``curved_furnished_room``) exist because the reference operated
+on real cluttered rooms (ref README.md:25-26) and a quality suite
+measured only on axis-aligned boxes — the one world the piecewise-planar
+raycast model represents exactly — would flatter the model.
 """
 
 from __future__ import annotations
@@ -28,13 +32,28 @@ def render_box_interior_depth(
     pose: jnp.ndarray,
     half_dims: jnp.ndarray,
     boxes: Optional[jnp.ndarray] = None,
+    spheres: Optional[jnp.ndarray] = None,
+    cylinders: Optional[jnp.ndarray] = None,
+    obbs: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Depth map of the inside of an axis-aligned box room.
 
     ``pose`` is the 4x4 row-vector camera-to-world transform; the room is
     centered at the world origin with half-extents ``half_dims``.
-    ``boxes``, if given, is (B, 2, 3) solid axis-aligned boxes
-    (min corner, max corner) inside the room. Returns (H, W) projective
+    Furniture, all solid and all with ANALYTIC ray intersections:
+
+      * ``boxes``   (B, 2, 3): axis-aligned boxes (min, max corner);
+      * ``spheres`` (S, 4): [cx, cy, cz, r];
+      * ``cylinders`` (C, 5): Y-axis-aligned capped cylinders
+        [cx, cz, r, y_min, y_max];
+      * ``obbs``    (B, 7): Y-yaw-rotated boxes
+        [cx, cy, cz, hx, hy, hz, yaw] — half-extents in the box frame,
+        rotated by ``yaw`` about world Y around the center.
+
+    The curved/rotated shapes exist to break the axis-aligned-box
+    monoculture of the quality evaluation: a piecewise-planar raycast
+    model represents boxes exactly away from edges, so only curvature
+    and oblique planes expose its model bias. Returns (H, W) projective
     depth in meters (distance along camera z).
     """
     rays_cam = pixel_rays(intr)  # (H, W, 3), z = 1
@@ -50,14 +69,76 @@ def render_box_interior_depth(
     t_room = jnp.min(t_exit_axis, axis=-1)  # exit the room = nearest wall hit
 
     t_hit = t_room
+
+    def aabb_entry(bmin, bmax, o, d):
+        t1 = (bmin - o) / d
+        t2 = (bmax - o) / d
+        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (t_near <= t_far) & (t_near > 0)
+        return t_near, hit
+
     if boxes is not None:
         for i in range(boxes.shape[0]):
-            bmin, bmax = boxes[i, 0], boxes[i, 1]
-            t1 = (bmin - origin) / safe_dirs
-            t2 = (bmax - origin) / safe_dirs
-            t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)
-            t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-            hit = (t_near <= t_far) & (t_near > 0)
+            t_near, hit = aabb_entry(boxes[i, 0], boxes[i, 1], origin, safe_dirs)
+            t_hit = jnp.where(hit & (t_near < t_hit), t_near, t_hit)
+
+    if spheres is not None:
+        for i in range(spheres.shape[0]):
+            c, r = spheres[i, :3], spheres[i, 3]
+            oc = origin - c
+            a = jnp.sum(dirs * dirs, axis=-1)
+            b = 2.0 * jnp.sum(dirs * oc, axis=-1)
+            cc = jnp.dot(oc, oc) - r * r
+            disc = b * b - 4.0 * a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_near = (-b - sq) / (2.0 * a)
+            hit = (disc > 0) & (t_near > 0)
+            t_hit = jnp.where(hit & (t_near < t_hit), t_near, t_hit)
+
+    if cylinders is not None:
+        for i in range(cylinders.shape[0]):
+            cx, cz, r, y0, y1 = (cylinders[i, k] for k in range(5))
+            ox = origin[0] - cx
+            oz = origin[2] - cz
+            dx, dy, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+            # Side surface: quadratic in the XZ plane, y clamped.
+            a = dx * dx + dz * dz
+            b = 2.0 * (ox * dx + oz * dz)
+            cc = ox * ox + oz * oz - r * r
+            disc = b * b - 4.0 * a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            a_safe = jnp.where(jnp.abs(a) < eps, eps, a)
+            t_side = (-b - sq) / (2.0 * a_safe)
+            y_at = origin[1] + t_side * dy
+            hit = (disc > 0) & (t_side > 0) & (y_at >= y0) & (y_at <= y1)
+            t_hit = jnp.where(hit & (t_side < t_hit), t_side, t_hit)
+            # Caps: the disk the ray meets first is the one whose plane
+            # faces it (entering from below hits the y0 cap).
+            dy_safe = jnp.where(jnp.abs(dy) < eps, eps, dy)
+            for y_cap in (y0, y1):
+                t_cap = (y_cap - origin[1]) / dy_safe
+                px = ox + t_cap * dx
+                pz = oz + t_cap * dz
+                hit_c = (t_cap > 0) & (px * px + pz * pz <= r * r)
+                t_hit = jnp.where(hit_c & (t_cap < t_hit), t_cap, t_hit)
+
+    if obbs is not None:
+        for i in range(obbs.shape[0]):
+            c = obbs[i, :3]
+            h = obbs[i, 3:6]
+            yaw = obbs[i, 6]
+            cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+            # World -> box frame: rotate by -yaw about Y around the center
+            # (row-vector: v_box = v_world @ R(-yaw); R rows given inline).
+            r0 = jnp.stack([cy, 0.0 * cy, -sy])
+            r1 = jnp.stack([0.0 * cy, 1.0 + 0.0 * cy, 0.0 * cy])
+            r2 = jnp.stack([sy, 0.0 * cy, cy])
+            rbox = jnp.stack([r0, r1, r2])  # (3, 3), world->box rows
+            o_b = (origin - c) @ rbox.T
+            d_b = dirs @ rbox.T
+            d_b = jnp.where(jnp.abs(d_b) < eps, eps, d_b)
+            t_near, hit = aabb_entry(-h, h, o_b, d_b)
             t_hit = jnp.where(hit & (t_near < t_hit), t_near, t_hit)
 
     # dirs scale: depth (z_cam) = t because rays_cam z == 1.
@@ -181,6 +262,58 @@ def furnished_room(scale: float = 1.0):
     return half, boxes
 
 
+def curved_furnished_room(scale: float = 1.0):
+    """The furnished room with CURVED and OBLIQUE furniture mixed in:
+    (half_dims, boxes, spheres, cylinders, obbs).
+
+    The piecewise-planar raycast model (ops/planes_pallas.py) represents
+    axis-aligned boxes exactly away from edges — every quality number
+    measured on ``furnished_room`` flatters it. This room keeps four of
+    those boxes and adds two spheres (r = 0.22/0.30 m), a capped
+    cylinder (r = 0.28 m), and two yaw-rotated boxes, whose sagitta
+    across a 512^3 sub-block (~1 mm at r = 0.3) and oblique planes the
+    model can only approximate. Geometry chosen so every orbit viewpoint
+    still sees full-6-DOF constraints."""
+    half = np.array([1.3, 1.1, 1.3], np.float32) * scale
+    boxes = np.array(
+        [
+            [[-0.95, 0.40, -0.95], [-0.35, 1.10, -0.35]],  # crate, floor corner
+            [[-0.20, -1.10, 0.60], [0.40, -0.50, 1.20]],  # cabinet, ceiling side
+            [[-1.25, -0.20, 0.20], [-0.85, 0.30, 0.80]],  # shelf on -x wall
+            [[0.85, -0.40, -0.60], [1.25, 0.20, 0.00]],  # shelf on +x wall
+        ],
+        np.float32,
+    ) * scale
+    # Placement: the drift/model probes and the bench orbit from near
+    # the origin looking toward +z (yawing 0..~0.4 rad toward +x) with
+    # pitch +0.25 toward the CEILING side (-y). The curved shapes sit in
+    # that frustum, where the original room put its ceiling cabinet.
+    spheres = np.array(
+        [
+            [0.35, -0.50, 0.95, 0.30],  # large ball, ceiling side +z
+            [-0.50, -0.30, 1.00, 0.22],  # smaller ball, -x of it
+        ],
+        np.float32,
+    ) * scale
+    cylinders = np.array(
+        [
+            # column hanging from the ceiling in the +x/+z sector
+            [0.75, 0.75, 0.28, -1.10, 0.20],
+        ],
+        np.float32,
+    ) * scale
+    obbs = np.array(
+        [
+            # slab rotated 30 degrees, ceiling side below the ball
+            [0.15, -0.85, 1.00, 0.35, 0.20, 0.18, 0.5236],
+            # tall crate rotated 50 degrees at eye height near +z
+            [-0.10, 0.25, 1.05, 0.22, 0.45, 0.15, 0.8727],
+        ],
+        np.float32,
+    ) * np.array([scale] * 6 + [1.0], np.float32)
+    return half, boxes, spheres, cylinders, obbs
+
+
 def flat_furnished_room():
     """The furnished room squeezed to a 1.5 m ceiling: every face —
     including the ceiling — is visible at |pitch| <= 0.35 from inside,
@@ -253,14 +386,29 @@ def render_depth_stream(
     boxes: Optional[np.ndarray] = None,
     noise: float = 0.0,
     seed: int = 0,
+    spheres: Optional[np.ndarray] = None,
+    cylinders: Optional[np.ndarray] = None,
+    obbs: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """(N, H, W) float32 depth stream with optional Kinect-like noise."""
     rng = np.random.default_rng(seed)
+
+    def as_j(x):
+        return jnp.asarray(x, jnp.float32) if x is not None else None
+
     half = jnp.asarray(half_dims, jnp.float32)
-    boxes_j = jnp.asarray(boxes, jnp.float32) if boxes is not None else None
+    boxes_j = as_j(boxes)
+    spheres_j = as_j(spheres)
+    cyl_j = as_j(cylinders)
+    obbs_j = as_j(obbs)
     frames = []
     for pose in poses:
-        d = np.asarray(render_box_interior_depth(intr, jnp.asarray(pose), half, boxes_j))
+        d = np.asarray(
+            render_box_interior_depth(
+                intr, jnp.asarray(pose), half, boxes_j,
+                spheres=spheres_j, cylinders=cyl_j, obbs=obbs_j,
+            )
+        )
         if noise > 0:
             # depth-dependent noise, Kinect-like quadratic growth
             d = np.where(

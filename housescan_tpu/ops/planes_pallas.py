@@ -349,7 +349,17 @@ def plane_fields_for_block(
             wx,
             wy,
             wz,
-            jnp.zeros((5, nsub)),
+            # Field 11 stays zero here: the streaming integrate overlays
+            # its saturation flags on it (ops/tsdf_stream.py FIELD_SAT).
+            jnp.zeros((1, nsub)),
+            # Field 12: out-of-plane crossing variance lambda_min
+            # (voxel^2) — the block's CURVATURE evidence. The raycast
+            # shrinks a curved block's render support toward its
+            # centroid so the secant-plane error stays bounded
+            # (ops/raycast_tiles.py curvature trim); planar blocks
+            # (lambda ~ 1e-8..1e-2) are untouched.
+            lam_min,
+            jnp.zeros((3, nsub)),
         ],
         axis=0,
     )  # (N_FIELDS, nsub)

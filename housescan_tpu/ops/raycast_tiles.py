@@ -108,9 +108,21 @@ def build_tile_candidates(
     def field(k):
         return planes[:, :, :, k, :].reshape(nb)
 
-    valid = field(4) > 0.5
+    # CURVATURE CLIFF: a block whose secant-plane bias would EXCEED the
+    # ICP tight gate (max |deviation| ~ 3.46*sqrt(lambda_min) voxels >
+    # 0.5 voxel, i.e. lambda_min > 0.021 voxel^2 — planes field 12) must
+    # not render AT ALL: rendering it produces sub-gate one-signed depth
+    # error that point-to-plane ICP integrates into drift (measured:
+    # trimming alone made the 128^3 curved-world gt-vol tracking error
+    # WORSE, 4.3 -> 8.1 mm mean, because the trimmed-but-rendered bias
+    # dropped below the outlier gate). Such blocks fall through to the
+    # occluder path below — the ray ends invalid, the honest answer.
+    # Resolution-independent in voxel units: a 0.3 m sphere crosses the
+    # cliff at 128^3 (lambda ~ 0.06) and renders fine at >= 256^3.
+    valid = (field(4) > 0.5) & (field(12) <= 0.021)
     # OCCLUDER blocks: real crossing evidence but no valid plane (mixed
-    # two-surface blocks at object silhouettes, collinear slivers). A
+    # two-surface blocks at object silhouettes, collinear slivers,
+    # above-cliff curvature). A
     # ray entering one has surface there that the plane model cannot
     # represent; letting it continue to farther geometry paints a
     # coherent ONE-SIGNED +2..5 voxel depth error over the silhouette
@@ -252,12 +264,33 @@ def build_tile_candidates(
     # both the old full transpose and per-field 1-D gathers.
     stacked = jnp.stack(
         [nx_f, ny_f, nz_f, field(3), field(8), field(9), field(10),
-         field(7), field(6), occl.astype(jnp.float32)],
+         field(7), field(6), occl.astype(jnp.float32), field(12)],
         axis=0,
-    )  # (10, nb)
-    sel_f = jnp.take(stacked, sel, axis=1)  # (10, nv)
+    )  # (11, nb)
+    sel_f = jnp.take(stacked, sel, axis=1)  # (11, nv)
     s_nx, s_ny, s_nz = sel_f[0], sel_f[1], sel_f[2]
     f_num = sel_f[3] - (s_nx * t[0] + s_ny * t[1] + s_nz * t[2])
+    # CURVATURE TRIM: a curved block's fitted plane is a secant whose
+    # depth error grows ~quadratically with in-plane distance from the
+    # crossing centroid — max deviation across the full support is
+    # ~3.46*sqrt(lambda_min) voxels (uniform-disk spherical-cap model;
+    # lambda_min is the out-of-plane crossing variance, planes field
+    # 11). Shrink the render support so the rendered error stays under
+    # CURV_TOL voxels: error(rho) ~ (rho/r)^2 * 3.46 sqrt(lam), so
+    # shrink^2 = tol / (3.46 sqrt(lam)), clamped to [0.35^2, 1]. Planar
+    # blocks (lam ~ 1e-8..1e-2 voxel^2) keep shrink = 1 exactly; sphere
+    # limb blocks — whose plane otherwise skirts past the silhouette
+    # and catches background rays metres wrong — shrink hardest.
+    # Measured (128^3 curved world, scripts/model_error_probe.py):
+    # mean signed error -18.6 -> +1.0 mm, median |e| 0.78 -> 0.12 mm,
+    # p90 |e| 57 -> 14 mm, at 19.5 -> 15.4% coverage (the shrink is
+    # honest invalidity, the round-2 lesson).
+    sag = 3.46 * jnp.sqrt(jnp.maximum(sel_f[10], 0.0))
+    shrink2 = jnp.where(
+        sel_f[9] > 0.5,  # occluders keep their full crossing sphere
+        1.0,
+        jnp.clip(0.25 / jnp.maximum(sag, 1e-9), 0.1225, 1.0),
+    )
     prep_t = jnp.stack(
         [
             s_nx,
@@ -267,7 +300,7 @@ def build_tile_candidates(
             sel_f[4] - t[0],  # centroid - camera origin
             sel_f[5] - t[1],
             sel_f[6] - t[2],
-            sel_f[7] * sel_f[7],  # support radius^2
+            sel_f[7] * sel_f[7] * shrink2,  # curvature-trimmed support r^2
             sel_f[8],  # sub-block id (seam masking)
             keep_s.astype(jnp.float32),  # ok
             sel_f[9],  # occluder flag (sphere-test, invalidates rays)

@@ -44,6 +44,14 @@ def main() -> None:
                     help="ICP fine-level distance gate override")
     ap.add_argument("--noise", type=float, default=0.0,
                     help="Kinect-like depth noise sigma at 2 m (meters)")
+    ap.add_argument("--world", choices=["box", "curved"], default="box",
+                    help="box: axis-aligned furniture only; curved: "
+                    "spheres + cylinder + rotated boxes")
+    ap.add_argument("--static-repeats", type=int, default=0, metavar="N",
+                    help="closed mode: after the orbit, feed the LAST "
+                    "frame N more times (a tripod pause) and print the "
+                    "pose walk every 10 repeats — does the "
+                    "refusion creep saturate or grow?")
     args = ap.parse_args()
 
     import jax
@@ -63,6 +71,7 @@ def main() -> None:
     )
     from housescan_tpu.kinfu.preprocess import build_pyramid
     from housescan_tpu.kinfu.synthetic import (
+        curved_furnished_room,
         furnished_room,
         orbit_poses,
         render_depth_stream,
@@ -76,11 +85,16 @@ def main() -> None:
         cx=width / 2 - 0.5, cy=height / 2 - 0.5,
     )
     n = args.frames
-    half, boxes = furnished_room()
+    if args.world == "curved":
+        half, boxes, spheres, cyls, obbs = curved_furnished_room()
+        shapes = dict(boxes=boxes, spheres=spheres, cylinders=cyls, obbs=obbs)
+    else:
+        half, boxes = furnished_room()
+        shapes = dict(boxes=boxes)
     poses = orbit_poses(n + 1, radius=args.radius, yaw_range=0.02 * n,
                         pitch=0.25)
-    frames = render_depth_stream(intr, poses, half, boxes=boxes,
-                                 noise=args.noise)
+    frames = render_depth_stream(intr, poses, half, noise=args.noise,
+                                 **shapes)
 
     interpret = not args.tpu
     kw = dict(resolution=args.res, size_m=3.0,
@@ -92,6 +106,10 @@ def main() -> None:
         return float(np.linalg.norm(
             np.asarray(pose)[3, :3] - poses[i][3, :3])) * 1000
 
+    # The streaming Pallas integrate needs z % 128 == 0; smaller
+    # resolutions take the XLA dense path automatically.
+    use_pallas = (not args.xla) and args.res % 128 == 0
+
     if args.mode == "closed":
         state = kinfu_init(intr, **kw)
         dist = None if args.dist is None else (args.dist, 0.05, 0.10)
@@ -99,7 +117,7 @@ def main() -> None:
         for i in range(n + 1):
             state = kinfu_step(state, jnp.asarray(frames[i]), intr,
                                dist_threshold=dist,
-                               use_pallas=not args.xla, interpret=interpret)
+                               use_pallas=use_pallas, interpret=interpret)
             if i > 0:
                 e = perr(state.pose, i)
                 print(f"frame {i:3d}: err {e:7.3f} mm  rmse "
@@ -107,6 +125,22 @@ def main() -> None:
                       f"corr {int(state.last_corr)}")
         print(f"mode=closed final pose err after {n} frames: {e:.3f} mm "
               f"({e/n:.3f} mm/frame)")
+        if args.static_repeats:
+            e0 = e
+            worst = e
+            for k in range(1, args.static_repeats + 1):
+                state = kinfu_step(state, jnp.asarray(frames[n]), intr,
+                                   dist_threshold=dist,
+                                   use_pallas=use_pallas,
+                                   interpret=interpret)
+                e = perr(state.pose, n)
+                worst = max(worst, e)
+                if k % 10 == 0 or k == args.static_repeats:
+                    print(f"static {k:4d}: err {e:7.3f} mm  rmse "
+                          f"{float(state.last_rmse)*1000:6.2f} mm  "
+                          f"corr {int(state.last_corr)}")
+            print(f"static-camera walk over {args.static_repeats} repeats: "
+                  f"{e0:.3f} -> {e:.3f} mm (worst {worst:.3f})")
         return
 
     # gt-vol / gt-track: integrate at ground truth.
@@ -133,7 +167,7 @@ def main() -> None:
                   f"{float(icp.rmse)*1000:6.2f} mm  corr {int(icp.n_corr)}")
         volume, planes = _integrate_dispatch(
             volume, planes, jnp.asarray(frames[i]), gt_pose, intr, 128.0,
-            True, interpret=interpret)
+            use_pallas, interpret=interpret)
         # Render for the next frame's tracking: at the GT pose (gt-vol)
         # or at the latest track (gt-track measures viewpoint effects).
         render_pose = gt_pose if args.mode == "gt-vol" or i == 0 else icp.pose

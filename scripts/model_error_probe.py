@@ -21,6 +21,10 @@ def main() -> None:
     ap.add_argument("--wh", default="320x240")
     ap.add_argument("--trunc", type=float, default=0.06)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--world", choices=["box", "curved"], default="box",
+                    help="box: axis-aligned furniture only (the model's "
+                    "exactly-representable world); curved: spheres + "
+                    "cylinder + rotated boxes (curvature bias visible)")
     args = ap.parse_args()
 
     import jax
@@ -34,6 +38,7 @@ def main() -> None:
     from housescan_tpu.kinfu.camera import Intrinsics
     from housescan_tpu.kinfu.pipeline import _integrate_dispatch, kinfu_init
     from housescan_tpu.kinfu.synthetic import (
+        curved_furnished_room,
         furnished_room,
         orbit_poses,
         render_depth_stream,
@@ -47,9 +52,14 @@ def main() -> None:
         cx=width / 2 - 0.5, cy=height / 2 - 0.5,
     )
     n = args.frames
-    half, boxes = furnished_room()
+    if args.world == "curved":
+        half, boxes, spheres, cyls, obbs = curved_furnished_room()
+        shapes = dict(boxes=boxes, spheres=spheres, cylinders=cyls, obbs=obbs)
+    else:
+        half, boxes = furnished_room()
+        shapes = dict(boxes=boxes)
     poses = orbit_poses(n + 1, radius=0.25, yaw_range=0.02 * n, pitch=0.25)
-    frames = render_depth_stream(intr, poses, half, boxes=boxes)
+    frames = render_depth_stream(intr, poses, half, **shapes)
     interpret = not args.tpu
 
     st = kinfu_init(intr, resolution=args.res, size_m=3.0, trunc=args.trunc,
@@ -64,8 +74,9 @@ def main() -> None:
     # we're measuring model surface fidelity, not generalization).
     pose = jnp.asarray(poses[n])
     model = raycast_planes(planes, pose, intr, volume, interpret=interpret)
-    gt_depth = np.asarray(render_depth_stream(intr, poses[n:n + 1], half,
-                                              boxes=boxes))[0].astype(np.float64)
+    gt_depth = np.asarray(
+        render_depth_stream(intr, poses[n:n + 1], half, **shapes)
+    )[0].astype(np.float64)
 
     m = np.asarray(model)
     md = m[mp.MD_DEPTH]

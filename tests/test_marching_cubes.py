@@ -71,3 +71,77 @@ class TestBoxMesh:
         vol = vol.replace_grids(tsdf=vol.tsdf.at[10:20].set(-1.0))
         mesh = marching_cubes(vol)
         assert len(mesh.vertices) == 0
+
+
+class TestEdgePaths:
+    """The paths a happy-path box mesh never exercises: explicit-cap
+    overflow, cap auto-sizing, slab-boundary invariance, and the
+    int16-packed volume storage."""
+
+    def _sphere_vol(self, res=48, r=0.9):
+        # A sphere SDF: the surface straddles several slab boundaries.
+        vol = tsdf_new(res, 3.0, 0.15)
+        idx = (np.arange(res) + 0.5) * (3.0 / res) - 1.5
+        gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+        d = r - np.sqrt(gx * gx + gy * gy + gz * gz)  # + inside? no: + outside the ball
+        gt = np.clip(d / 0.15, -1, 1).astype(np.float32)
+        return vol.replace_grids(
+            tsdf=jnp.asarray(gt), weight=jnp.ones_like(vol.weight)
+        )
+
+    def test_explicit_cap_overflow_truncates_with_message(self, capsys):
+        vol = self._sphere_vol()
+        full = marching_cubes(vol)
+        n_full = len(full.faces)
+        assert n_full > 600
+        cap = 512
+        mesh = marching_cubes(vol, max_triangles=cap)
+        err = capsys.readouterr().err
+        assert "exceed capacity 512" in err and "max_triangles" in err
+        assert len(mesh.faces) == cap  # truncated exactly at the cap
+
+    def test_auto_cap_is_next_power_of_two(self):
+        from housescan_tpu.kinfu.marching_cubes import (
+            _compact_program,
+            _count_program,
+        )
+
+        vol = self._sphere_vol()
+        total = int(_count_program(vol.data, jnp.asarray(1.0, jnp.float32), 16))
+        mesh = marching_cubes(vol)
+        assert len(mesh.faces) == total  # exact count == emitted count
+        want_cap = max(1 << int(np.ceil(np.log2(total + 1))), 1 << 12)
+        # The compact program was compiled for exactly that bucket.
+        dst, off = _compact_program(
+            vol.data, vol.origin, vol.voxel_size,
+            jnp.asarray(1.0, jnp.float32), 16, want_cap,
+        )
+        assert int(off) == total
+        assert dst.shape == (9, want_cap + 1)
+
+    def test_slab_8_vs_16_identical(self):
+        vol = self._sphere_vol()
+        m8 = marching_cubes(vol, slab=8)
+        m16 = marching_cubes(vol, slab=16)
+        assert len(m8.faces) == len(m16.faces)
+        # Same triangle SET: slab size only reorders emission by X-slab;
+        # sort both soups canonically and compare exactly.
+        def canon(m):
+            t = m.vertices.reshape(-1, 9)
+            return t[np.lexsort(t.T[::-1])]
+        np.testing.assert_array_equal(canon(m8), canon(m16))
+
+    def test_packed_int16_volume(self):
+        from housescan_tpu.kinfu.tsdf import pack_tw
+
+        volf = self._sphere_vol()
+        packed = volf._replace(
+            data=pack_tw(volf.tsdf, volf.weight)
+        )
+        mf = marching_cubes(volf)
+        mp_ = marching_cubes(packed)
+        # Packed tsdf is quantized (1/PACKED_SCALE); counts can differ at
+        # cells whose corner signs flip, but the surface must agree.
+        assert abs(len(mp_.faces) - len(mf.faces)) < 0.01 * len(mf.faces)
+        r_err = np.abs(np.linalg.norm(mp_.vertices, axis=1) - 0.9)
+        assert np.quantile(r_err, 0.99) < 0.01
