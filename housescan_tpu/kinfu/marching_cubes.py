@@ -369,13 +369,17 @@ def marching_cubes(
     """Extract the zero-isosurface triangle mesh of a TSDF volume.
 
     Device work proceeds in X-slabs (bounded memory; slab >= 16
-    measured 50x cheaper per slab than 8 on the relay backend), but as
-    exactly TWO compiled programs — a whole-volume exact counting pass
-    that sizes the output buffer (rounded to a power of two so jit
-    traces stay bucketed), then a whole-volume compaction pass carrying
-    the (9, cap+1) buffer through a fori_loop — so the dominant cost of
-    the previous ~64-dispatch version (~0.5 s relay overhead per
-    dispatch) is gone. ``max_triangles`` overrides the measured size
+    measured 50x cheaper per slab than 8 on the relay backend), as ONE
+    whole-volume compaction program carrying the (9, cap+1) buffer
+    through a fori_loop (the previous ~64-dispatch version paid ~0.5 s
+    relay overhead per dispatch; the count+compact two-program version
+    still swept the volume twice — 14 s warm at 512^3, this is ~8 s).
+    The buffer is sized SPECULATIVELY at 4*r^2 triangles (measured
+    scenes run ~2.3*r^2 — surface area scales with r^2 — so ~75%
+    headroom), rounded to a power of two so jit traces stay bucketed;
+    the program returns the EXACT total alongside, and on the rare
+    overflow the compaction reruns once at the exact size (two sweeps —
+    the old steady-state cost). ``max_triangles`` overrides the sizing
     (mostly for tests). Returns a triangle-soup Mesh (Meshlab and the
     .ply pipeline handle soups fine; dedup is a host-side post-pass).
     """
@@ -388,16 +392,22 @@ def marching_cubes(
         )
     min_w = jnp.asarray(min_weight, jnp.float32)
 
-    if max_triangles:
-        cap = max_triangles
-    else:
-        total = int(_count_program(vol.data, min_w, slab))
-        cap = max(1 << int(np.ceil(np.log2(max(total, 1) + 1))), 1 << 12)
+    def pow2ceil(x):
+        return max(1 << int(np.ceil(np.log2(max(x, 1) + 1))), 1 << 12)
 
+    cap = max_triangles if max_triangles else pow2ceil(4 * r * r)
     dst, offset = _compact_program(
         vol.data, vol.origin, vol.voxel_size, min_w, slab, cap
     )
     n = int(offset)
+    if n > cap and not max_triangles:
+        # Speculative buffer overflowed: rerun at the exact bucket (the
+        # returned offset is the exact total regardless of overflow).
+        cap = pow2ceil(n)
+        dst, offset = _compact_program(
+            vol.data, vol.origin, vol.voxel_size, min_w, slab, cap
+        )
+        n = int(offset)
     if n > cap:
         import sys
 

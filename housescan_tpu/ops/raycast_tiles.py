@@ -31,6 +31,7 @@ KinFu's CUDA raycast (ref README.md:14).
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,27 +42,39 @@ from housescan_tpu.kinfu.camera import Intrinsics
 from housescan_tpu.kinfu.tsdf import TsdfVolume
 from housescan_tpu.ops.planes_pallas import N_FIELDS, SUB_Z
 
-MAX_CT = 96  # candidates per (band, u-tile) at production image sizes;
-# small test images have few tiles and would overflow constantly, so
-# _max_ct() widens the per-tile budget as the tile count shrinks.
-CHUNK = 96  # candidates processed per grid step inside the kernel —
-# bounds kernel locals at (96, 8, 128) f32 so widened budgets can't
-# overflow the 16 MB scoped-VMEM stack; budgets must be multiples.
+# The three candidate budgets are overridable via env (perf A/B on
+# hardware without code edits; defaults are the production values).
+MAX_CT = int(os.environ.get("HOUSESCAN_RC_MAX_CT", "96"))
+# candidates per (band, u-tile) at production image sizes; small test
+# images have few tiles and would overflow constantly, so _max_ct()
+# widens the per-tile budget as the tile count shrinks.
+CHUNK = min(96, MAX_CT)  # candidates processed per grid step inside the
+# kernel — bounds kernel locals at (<=96, 8, 128) f32 so widened budgets
+# can't overflow the 16 MB scoped-VMEM stack; budgets must be multiples.
 N_PREP = 16  # prepared fields (10 used, padded to a sublane tile)
 BIG = 1.0e9
-MAX_PAIRS = 16  # (band, utile) slots emitted per selected sub-block
+MAX_PAIRS = int(os.environ.get("HOUSESCAN_RC_MAX_PAIRS", "16"))
+# (band, utile) slots emitted per selected sub-block.
 # Visible+valid sub-blocks kept per frame. A 640x480 view bounds the
 # useful set: a sub-block projects to >= ~25 px^2 beyond 2 m, so ~2K
 # blocks of overdraw cover the frustum; selection is nearest-first
 # (lax.top_k breaks ties lower-index-first, per its documented
 # contract), so overflow drops far geometry.
-MAX_VISIBLE = 4096
+MAX_VISIBLE = int(os.environ.get("HOUSESCAN_RC_MAX_VISIBLE", "4096"))
+# Curvature-cliff threshold (voxel^2 out-of-plane crossing variance
+# above which a block renders as an occluder instead of its secant
+# plane; see the CLIFF comment in build_tile_candidates). Env knob for
+# quality A/B experiments.
+CURV_CLIFF = float(os.environ.get("HOUSESCAN_CURV_CLIFF", "0.021"))
+# Curvature-trim rendered-error tolerance (voxels; the TRIM comment in
+# build_tile_candidates). 1e9 disables trimming.
+CURV_TOL = float(os.environ.get("HOUSESCAN_CURV_TRIM_TOL", "0.25"))
 
 
 def _max_ct(n_tiles: int) -> int:
-    """Per-tile candidate budget: 96 at production sizes (>=128 tiles),
-    widened for small test images so the visible set still fits."""
-    return 96 if n_tiles >= 128 else 384
+    """Per-tile candidate budget: MAX_CT at production sizes (>=128
+    tiles), widened for small test images so the visible set fits."""
+    return MAX_CT if n_tiles >= 128 else max(384, MAX_CT)
 
 
 def build_tile_candidates(
@@ -119,7 +132,7 @@ def build_tile_candidates(
     # occluder path below — the ray ends invalid, the honest answer.
     # Resolution-independent in voxel units: a 0.3 m sphere crosses the
     # cliff at 128^3 (lambda ~ 0.06) and renders fine at >= 256^3.
-    valid = (field(4) > 0.5) & (field(12) <= 0.021)
+    valid = (field(4) > 0.5) & (field(12) <= CURV_CLIFF)
     # OCCLUDER blocks: real crossing evidence but no valid plane (mixed
     # two-surface blocks at object silhouettes, collinear slivers,
     # above-cliff curvature). A
@@ -289,7 +302,7 @@ def build_tile_candidates(
     shrink2 = jnp.where(
         sel_f[9] > 0.5,  # occluders keep their full crossing sphere
         1.0,
-        jnp.clip(0.25 / jnp.maximum(sag, 1e-9), 0.1225, 1.0),
+        jnp.clip(CURV_TOL / jnp.maximum(sag, 1e-9), 0.1225, 1.0),
     )
     prep_t = jnp.stack(
         [

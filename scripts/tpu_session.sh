@@ -8,6 +8,10 @@
 # bench. Each step's output is kept separately under /tmp.
 set -x
 cd "$(dirname "$0")/.."
+# scripts/*.py import housescan_tpu: python puts the SCRIPT's dir on
+# sys.path, not the cwd, so the repo root must be on PYTHONPATH.
+PYTHONPATH="$PWD:/root/.axon_site${PYTHONPATH:+:$PYTHONPATH}"
+export PYTHONPATH
 
 python scripts/profile_step.py > /tmp/ts_profile.out 2>&1
 
