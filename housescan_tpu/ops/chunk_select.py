@@ -50,6 +50,20 @@ import jax.numpy as jnp
 from housescan_tpu.kinfu.camera import Intrinsics
 
 BIG = 1.0e9
+# Entry-grouping cap (HOUSESCAN_SUPER_X=2 enables x-paired entries);
+# must be read by BOTH this module and ops/tsdf_stream so the worklist
+# and the kernel agree. DEFAULT 1 — a measured NEGATIVE result: 95.8%
+# of the steady-state 512^3 main list's entries have their x-sibling
+# listed (the pairing census), and pairing is certified bit-exact, but
+# the (16, 8, 256) paired blocks HALVED hardware throughput (36.6 vs
+# 74.9 fps, 3-pass A/B) — the wider block's DMA/codegen costs swamp
+# the ~2.5us/entry step-floor saving. Kept as a knob because the
+# mechanism (4 half-descriptors per entry) is shared with super_z and
+# the census machinery documents the why.
+SUPER_X_CAP = int(
+    __import__("os").environ.get("HOUSESCAN_SUPER_X", "1")
+)
+
 CLS_FREE = 0
 CLS_BAND = 1
 CLS_NOOP = 2
@@ -109,10 +123,12 @@ class WorkList(NamedTuple):
     # index_maps run per grid step on the scalar core, so handing them
     # plain loads instead of bit arithmetic measurably cuts the
     # per-step pipeline overhead at 16K steps.
-    bi: jnp.ndarray  # (n_chunks,) int32
+    bi: jnp.ndarray  # (n_chunks,) int32 (entry's BASE x block; even
+    # when super_x == 2)
     bj: jnp.ndarray
     bk: jnp.ndarray  # in super_z-chunk units
-    super_z: int = 2  # chunks per entry (static)
+    super_z: int = 2  # z chunks per entry (static)
+    super_x: int = 1  # x columns per entry (static)
 
 
 def _coarsen_min(m):
@@ -572,33 +588,51 @@ def build_worklist(
     noop_half = jnp.int32(CLS_NOOP)
     half = jnp.where(skip, noop_half, half)
 
-    # ---- SUPERCHUNK pairing: super_z z-adjacent chunks per work-list
-    # entry / one (8, 8, 128*super_z) block. The streaming integrate is
+    # ---- SUPERCHUNK grouping: super_x x-adjacent columns x super_z
+    # z-adjacent chunks per work-list entry / one
+    # (8*super_x, 8, 128*super_z) block. The streaming integrate is
     # bound by PER-STEP pipeline overhead (~1.35us per active entry,
     # measured; neither FLOPs nor HBM bytes), so wider entries cut its
-    # floor directly; a listed superchunk's SKIP members simply carry
-    # NOOP half-descriptors. Two packed int32 words hold up to 4 14-bit
-    # halves (lo: chunks 0-1, hi: chunks 2-3). ----
+    # floor directly; a grouped entry's SKIP members simply carry NOOP
+    # half-descriptors. Two packed int32 words hold up to 4 14-bit
+    # halves, ordered xh*super_z + zh (lo word: halves 0-1, hi: 2-3).
+    # WHY x and not wider z: at the steady-state 512^3 bench frame,
+    # 95.8% of listed entries have their x-sibling listed too (surfaces
+    # are x-coherent) while z-siblings beyond the super_z=2 pair pair at
+    # ~0% — a super_z=4 experiment merged mostly-(listed, skip) pairs:
+    # no step savings, double the streamed bytes. ----
     super_z = 2 if nzc % 2 == 0 else 1  # see ops/tsdf_stream.py
-    n_super = n // super_z
-    halfs = half.reshape(n_super, super_z)
-    skips = skip.reshape(n_super, super_z)
+    super_x = 2 if (nbx_x % 2 == 0 and SUPER_X_CAP >= 2) else 1
+    nzc2 = nzc // super_z
+    # (nbx_x, nbx_y, nzc) raster -> (entries, super_x, super_z) halves.
+    h5 = jnp.moveaxis(
+        half.reshape(nbx_x // super_x, super_x, nbx_y, nzc2, super_z),
+        1,
+        3,
+    )
+    s5 = jnp.moveaxis(
+        skip.reshape(nbx_x // super_x, super_x, nbx_y, nzc2, super_z),
+        1,
+        3,
+    )
+    n_half = super_x * super_z
+    halfs = h5.reshape(-1, n_half)
+    skips = s5.reshape(-1, n_half)
+    n_super = halfs.shape[0]
     noop_pair = (noop_half | (noop_half << 14)).astype(jnp.int32)
-    if super_z == 1:
-        packed = (halfs[:, 0] | (noop_half << 14)).astype(jnp.int32)
-        packed_hi = jnp.full((n_super,), noop_pair, jnp.int32)
-        skip_s = skips[:, 0]
-    elif super_z == 2:
-        packed = (halfs[:, 0] | (halfs[:, 1] << 14)).astype(jnp.int32)
-        packed_hi = jnp.full((n_super,), noop_pair, jnp.int32)
-        skip_s = skips[:, 0] & skips[:, 1]
-    else:
-        packed = (halfs[:, 0] | (halfs[:, 1] << 14)).astype(jnp.int32)
-        packed_hi = (halfs[:, 2] | (halfs[:, 3] << 14)).astype(jnp.int32)
-        skip_s = skips[:, 0] & skips[:, 1] & skips[:, 2] & skips[:, 3]
-    sci = ci.reshape(n_super, super_z)[:, 0]
-    scj = cj.reshape(n_super, super_z)[:, 0]
-    sck = ck.reshape(n_super, super_z)[:, 0] // super_z  # superchunk z index
+
+    def _w(i):
+        if i < n_half:
+            return halfs[:, i]
+        return jnp.full((n_super,), noop_half, jnp.int32)
+
+    packed = (_w(0) | (_w(1) << 14)).astype(jnp.int32)
+    packed_hi = (_w(2) | (_w(3) << 14)).astype(jnp.int32)
+    skip_s = skips.all(axis=1)
+    eids = jnp.arange(n_super, dtype=jnp.int32)
+    sci = (eids // (nbx_y * nzc2)) * super_x  # entry's BASE x block
+    scj = (eids // nzc2) % nbx_y
+    sck = eids % nzc2  # superchunk z index
 
     # ---- compaction: non-skip first, raster order preserved ----
     coords = (sci | (scj << 7) | (sck << 14)).astype(jnp.int32)
@@ -631,6 +665,7 @@ def build_worklist(
         bj=(wc >> 7) & 127,
         bk=(wc >> 14) & 15,
         super_z=super_z,
+        super_x=super_x,
     )
     if free_split:
         return out, free_wl
@@ -650,7 +685,7 @@ def decode_worklist(wl: WorkList):
     count = int(np.asarray(wl.count)[0])
     rows = []
     for s in range(count):
-        for h in range(wl.super_z):
+        for h in range(wl.super_x * wl.super_z):
             word = packed[s] if h < 2 else packed_hi[s]
             d = (word >> (14 * (h % 2))) & 0x3FFF
             cls = d & 3
@@ -658,9 +693,9 @@ def decode_worklist(wl: WorkList):
                 continue
             rows.append(
                 (
-                    int(bi[s]),
+                    int(bi[s]) + h // wl.super_z,
                     int(bj[s]),
-                    int(bk[s]) * wl.super_z + h,
+                    int(bk[s]) * wl.super_z + h % wl.super_z,
                     cls,
                     (d >> 2) & 3,
                     ((d >> 4) & 63) * 8,

@@ -48,9 +48,13 @@ MAX_CT = int(os.environ.get("HOUSESCAN_RC_MAX_CT", "96"))
 # candidates per (band, u-tile) at production image sizes; small test
 # images have few tiles and would overflow constantly, so _max_ct()
 # widens the per-tile budget as the tile count shrinks.
-CHUNK = min(96, MAX_CT)  # candidates processed per grid step inside the
-# kernel — bounds kernel locals at (<=96, 8, 128) f32 so widened budgets
-# can't overflow the 16 MB scoped-VMEM stack; budgets must be multiples.
+# Candidates processed per grid step inside the kernel — bounds kernel
+# locals at (<=96, 8, 128) f32 so widened budgets can't overflow the
+# 16 MB scoped-VMEM stack. Must divide both MAX_CT and the 384
+# small-image budget: the largest divisor of MAX_CT that is <= 96.
+CHUNK = max(
+    d for d in range(1, min(96, MAX_CT) + 1) if MAX_CT % d == 0
+)
 N_PREP = 16  # prepared fields (10 used, padded to a sublane tile)
 BIG = 1.0e9
 MAX_PAIRS = int(os.environ.get("HOUSESCAN_RC_MAX_PAIRS", "16"))

@@ -48,6 +48,7 @@ from housescan_tpu.ops.chunk_select import (
     CLS_FREE,
     CLS_NOOP,
     CLS_REFINE,
+    SUPER_X_CAP,
     build_worklist,
 )
 from housescan_tpu.ops.planes_pallas import (
@@ -86,7 +87,7 @@ NSUB_C = CHUNK_Z // SUB_Z  # sub-blocks (planes) per chunk
 # reference's 128 cap, never slower. Any depth frame that brings a
 # surface into the quarter's footprint reclassifies the chunk
 # BAND/REFINE, and the visit recomputes the flags.
-SAT_W = 8.0
+SAT_W = float(__import__("os").environ.get("HOUSESCAN_SAT_W", "8"))
 N_QUARTERS = 4
 FIELD_SAT = 11  # planes row carrying the flags (rows 11-15 are spare)
 
@@ -121,7 +122,8 @@ def _kernel(
     vol_out,
     planes_out,
     sign_scratch,  # VMEM (2, 8, CHUNK_Z): post-update obs min/max tiles
-    super_z=2,  # chunks per work-list entry (2, or 1 when nzc is odd)
+    super_z=2,  # z chunks per work-list entry (2, or 1 when nzc is odd)
+    super_x=1,  # x columns per entry (2 when nbx_x is even)
     ablate="none",  # perf triage: none|copy|no_planes|no_free|no_band
     sat_w=SAT_W,
 ):
@@ -156,14 +158,16 @@ def _kernel(
     def _process():
         vol_out[...] = vol_in[...]
 
-        for h in range(super_z):
-            word = p if h < 2 else p_hi
+        for hg in range(super_x * super_z):
+            xh = hg // super_z  # python ints: the loop is unrolled, so
+            zh = hg % super_z  # all offsets below stay STATIC
+            word = p if hg < 2 else p_hi
             _process_half(
-                h,
-                (word >> (14 * (h % 2))) & 0x3FFF,
-                ci,
+                zh,
+                (word >> (14 * (hg % 2))) & 0x3FFF,
+                ci + xh,
                 cj,
-                bk * super_z + h,
+                bk * super_z + zh,
                 params,
                 (mip0, mip1, mip2),
                 (mip0s, mip1s, mip2s),
@@ -176,11 +180,12 @@ def _kernel(
                 bx0,
                 ablate,
                 sat_w,
+                xh,
             )
 
 
 def _process_half(
-    h,  # python int: which half of the block (lane offset h*128)
+    h,  # python int: which z-half of the block (lane offset h*128)
     desc,  # 14-bit half descriptor (traced scalar)
     ci,
     cj,
@@ -197,6 +202,7 @@ def _process_half(
     bx0,
     ablate,
     sat_w,
+    xh=0,  # python int: which x column of a super_x-wide block
 ):
     cls = desc & 3
     level = (desc >> 2) & 3
@@ -216,6 +222,7 @@ def _process_half(
     img_h = params[23]
 
     zlo = h * CHUNK_Z  # static lane offset of this half in the block
+    xlo = xh * 8  # static x (dim-0) offset in a super_x-wide block
     # Global X block index: geometry MUST use (ci + bx0) with the GLOBAL
     # origin so a mesh-sharded slab's f32 world coordinates are
     # bit-identical to the single-chip run's (slab-local origins round
@@ -228,33 +235,37 @@ def _process_half(
         # pack_tw) — half the block bytes of the f32 layout, which are
         # the integrate's dominant cost at 512^3.
         def t_ref(ix):
-            v = vol_out[ix, :, zlo : zlo + CHUNK_Z]
+            v = vol_out[xlo + ix, :, zlo : zlo + CHUNK_Z]
             return (v >> 16).astype(jnp.float32) * (1.0 / 32767.0)
 
         def w_ref(ix):
-            v = vol_out[ix, :, zlo : zlo + CHUNK_Z]
+            v = vol_out[xlo + ix, :, zlo : zlo + CHUNK_Z]
             return (v & 0xFFFF).astype(jnp.float32)
 
         def tw_set(ix, t, w):
             ti = jnp.round(jnp.clip(t, -1.0, 1.0) * 32767.0).astype(
                 jnp.int32
             )
-            vol_out[ix, :, zlo : zlo + CHUNK_Z] = (ti << 16) | w.astype(
-                jnp.int32
-            )
+            vol_out[xlo + ix, :, zlo : zlo + CHUNK_Z] = (
+                ti << 16
+            ) | w.astype(jnp.int32)
 
     else:
         vdt = vol_out.dtype  # f32 or bf16 storage; all math is f32
 
         def t_ref(ix):
-            return vol_out[0, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+            return vol_out[0, xlo + ix, :, zlo : zlo + CHUNK_Z].astype(
+                jnp.float32
+            )
 
         def w_ref(ix):
-            return vol_out[1, ix, :, zlo : zlo + CHUNK_Z].astype(jnp.float32)
+            return vol_out[1, xlo + ix, :, zlo : zlo + CHUNK_Z].astype(
+                jnp.float32
+            )
 
         def tw_set(ix, t, w):
-            vol_out[0, ix, :, zlo : zlo + CHUNK_Z] = t.astype(vdt)
-            vol_out[1, ix, :, zlo : zlo + CHUNK_Z] = w.astype(vdt)
+            vol_out[0, xlo + ix, :, zlo : zlo + CHUNK_Z] = t.astype(vdt)
+            vol_out[1, xlo + ix, :, zlo : zlo + CHUNK_Z] = w.astype(vdt)
 
     zlane = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK_Z), 1).astype(
         jnp.float32
@@ -791,13 +802,13 @@ def _process_half(
         # Surface quarters have crossings (not saturated-free), but the
         # OTHER quarters of a crossing chunk can still saturate — keep
         # their flags.
-        planes_out[0, 0, h, :, :] = jnp.where(
+        planes_out[xh, 0, h, :, :] = jnp.where(
             f_row == FIELD_SAT, sat_row, fields
         )
 
     @pl.when(~may_cross)
     def _():
-        planes_out[0, 0, h, :, :] = sat_row
+        planes_out[xh, 0, h, :, :] = sat_row
 
 
 def _free_kernel(
@@ -1099,10 +1110,18 @@ def tsdf_integrate_stream(
         id_nbx, block_x0 = nbx_x, jnp.int32(0)
     else:
         id_nbx, block_x0 = global_blocks[0], global_blocks[1]
-    # super_z=2 measured best: 4-wide entries merge mostly-(listed,skip)
-    # sibling pairs, going from 4160 active entries of 8192 to ~4096 of
-    # 4096 — no step savings, double the streamed bytes.
+    # super_z=2 measured best: z-4-wide entries merge mostly-
+    # (listed, skip) sibling pairs, going from 4160 active entries of
+    # 8192 to ~4096 of 4096 — no step savings, double the streamed
+    # bytes. X-pairing is the opposite story: 95.8% of the steady-state
+    # main list's entries have their x-sibling listed (surfaces are
+    # x-coherent; the 512^3 bench census), so super_x=2 entries nearly
+    # HALVE the per-step pipeline floor at +4% half-work (the ~4% lone
+    # entries carry NOOP sibling halves, whose plane recompute
+    # reproduces the stored planes bit-exactly). MUST match
+    # chunk_select.build_worklist's grouping decision.
     super_z = 2 if nzc % 2 == 0 else 1
+    super_x = 2 if (nbx_x % 2 == 0 and SUPER_X_CAP >= 2) else 1
 
     depth = depth.astype(jnp.float32)
     # Persistent free-space saturation flags (written by this kernel on
@@ -1149,7 +1168,7 @@ def tsdf_integrate_stream(
         ]
     ).astype(jnp.float32)
 
-    n_entries = nbx_x * nbx_y * (nzc // super_z)
+    n_entries = (nbx_x // super_x) * nbx_y * (nzc // super_z)
     # TESTING-ONLY grid cap: interpret mode executes every PADDED grid
     # step in Python (on hardware a padded step's repeated block index
     # elides its DMAs, ~80ns), so interpret tests on scenes whose active
@@ -1219,19 +1238,21 @@ def tsdf_integrate_stream(
         )
         vol = vol._replace(data=vdata)
 
+    # bi holds the entry's BASE x block (even when super_x == 2); the
+    # block index is in block-shape units, hence the // super_x.
     if packed:
         def im_vol(s, wl, wh, bi, bj, bk, cnt):
-            return (bi[s], bj[s], bk[s])
+            return (bi[s] // super_x, bj[s], bk[s])
 
-        vol_block = (8, 8, CHUNK_Z * super_z)
+        vol_block = (8 * super_x, 8, CHUNK_Z * super_z)
     else:
         def im_vol(s, wl, wh, bi, bj, bk, cnt):
-            return (0, bi[s], bj[s], bk[s])
+            return (0, bi[s] // super_x, bj[s], bk[s])
 
-        vol_block = (2, 8, 8, CHUNK_Z * super_z)
+        vol_block = (2, 8 * super_x, 8, CHUNK_Z * super_z)
 
     def im_planes(s, wl, wh, bi, bj, bk, cnt):
-        return (bi[s], bj[s], bk[s], 0, 0)
+        return (bi[s] // super_x, bj[s], bk[s], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
@@ -1250,19 +1271,27 @@ def tsdf_integrate_stream(
             # reads it): a CONSTANT index_map fires its block DMA once
             # instead of per step.
             pl.BlockSpec(
-                (1, 1, super_z, N_FIELDS, NSUB_C),
+                (super_x, 1, super_z, N_FIELDS, NSUB_C),
                 lambda s, wl, wh, bi, bj, bk, cnt: (0, 0, 0, 0, 0),
             ),
         ],
         out_specs=[
             pl.BlockSpec(vol_block, im_vol),
-            pl.BlockSpec((1, 1, super_z, N_FIELDS, NSUB_C), im_planes),
+            pl.BlockSpec(
+                (super_x, 1, super_z, N_FIELDS, NSUB_C), im_planes
+            ),
         ],
         scratch_shapes=[pltpu.VMEM((4, 8, CHUNK_Z), jnp.float32)],
     )
 
     out_data, out_planes = pl.pallas_call(
-        partial(_kernel, super_z=super_z, ablate=ablate, sat_w=sat_w),
+        partial(
+            _kernel,
+            super_z=super_z,
+            super_x=super_x,
+            ablate=ablate,
+            sat_w=sat_w,
+        ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(vol.data.shape, vol.data.dtype),
