@@ -252,10 +252,13 @@ def main() -> None:
     # 0.063 clean — about noise*150 per frame extra).
     max_err_mm = (0.15 + 150.0 * noise) * n_frames + 2.0
     if world == "curved":
-        # Curvature penalty: the CPU testbed (128^3 + 160x120) measures
-        # 14.8 mm curved vs 11.6 mm box over 6 frames (+27%); double
-        # the budget to cover the secant-model bias class with margin.
-        max_err_mm *= 2.0
+        # Curvature penalty, calibrated on hardware: the 512^3 curved
+        # orbit measures 9.54 mm over 20 frames (0.48 mm/frame of
+        # one-signed secant-model bias vs 0.04 box — PERFORMANCE.md
+        # curved-world section); 2.5x the box budget = 12.5 mm bounds
+        # it with ~30% margin while a quality regression (doubling the
+        # bias) still fails.
+        max_err_mm *= 2.5
     if pose_err_mm > max_err_mm:
         print(
             f"# FAIL: pose error {pose_err_mm:.2f} mm exceeds the "
