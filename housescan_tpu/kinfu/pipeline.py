@@ -191,7 +191,23 @@ def kinfu_step(
     # (icp_track docstring for all measurements).
     tight = jnp.maximum(0.5 * state.volume.voxel_size, 0.006)
     if dist_threshold is None:
-        dist_threshold = (tight, 0.05, 0.10)
+        # NOTE the finest level's WIDENED gate equals its tight gate,
+        # so icp_track's correspondence-collapse widening is a no-op at
+        # level 0 by construction — implicated in the 512^3 long-orbit
+        # spiral (PERFORMANCE.md: once closed-loop error passes the
+        # 2.9 mm tight gate the fine level starves with nowhere to
+        # widen to). HOUSESCAN_L0_WIDE (meters) sets a genuinely wider
+        # level-0 fallback for experiments; default unchanged because
+        # the tight-first design is measured-good at 20-frame scale and
+        # a wider fallback re-admits the bias tail it exists to block.
+        import os as _os
+
+        _l0w = float(_os.environ.get("HOUSESCAN_L0_WIDE", "0"))
+        dist_threshold = (
+            jnp.maximum(tight, _l0w) if _l0w else tight,
+            0.05,
+            0.10,
+        )
 
     init_pose = state.model_pose
     if forced_pose is None:
